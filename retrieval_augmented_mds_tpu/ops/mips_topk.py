@@ -1,0 +1,241 @@
+"""Fused MIPS top-k Pallas kernel: tiled matmul + on-chip k-select.
+
+This is the TPU-native replacement for FAISS's `index.search`
+(reference: sotasum/mips.py:382-400 and the `faiss_index.search` C++ hot
+loop). Instead of a host round-trip to a CPU ANN library, the corpus
+embedding matrix lives in HBM; query blocks stream corpus tiles through
+the MXU and keep a running top-k per query in VMEM — the [B, N] score
+matrix is never materialized in HBM.
+
+Design (see SURVEY.md §7.1 step 2b):
+  * grid = (B tiles, N tiles); the N axis is innermost so the running
+    top-k scratch persists across corpus tiles for one query block,
+  * scores = Q_tile @ E_tile^T on the MXU (bf16 in, f32 accumulate),
+    plus an optional per-row bias — which makes the same kernel serve
+    L2 metric search (bias = -||e||²/2 turns max inner product into
+    min L2 distance; replaces the reference's φ-augmentation trick at
+    sotasum/mips.py:55-70 with straight math on device),
+  * k-select = k rounds of (max, argmax, mask) over the concatenation of
+    the tile's scores and the running top-k buffer — pure VPU work, no
+    gathers, O(k·TILE_N) per tile which is negligible next to the
+    O(D·TILE_N) matmul,
+  * self-exclusion (the reference's dynamically-shaped k+1-then-filter at
+    sotasum/mips.py:388-400) becomes static masking: a fixed-width
+    [B, n_ignore] id list (-1 padded) is compared against global column
+    ids inside the kernel.
+
+Static shapes everywhere; padding rows are masked by global id >= n_valid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-3.0e38)
+_RUN = 128  # running top-k buffer lanes (k <= _RUN)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _kernel(
+    q_ref,  # [TB, D]   queries (bf16 or f32)
+    e_ref,  # [TN, D]   corpus tile (bf16)
+    bias_ref,  # [1, TN] per-row score bias (f32)
+    ign_ref,  # [TB, IGN] global ids to exclude per query (int32, -1 pad)
+    out_vals_ref,  # [TB, _RUN] (f32)
+    out_idx_ref,  # [TB, _RUN] (int32)
+    run_vals,  # scratch [TB, _RUN] f32
+    run_idx,  # scratch [TB, _RUN] int32
+    *,
+    k: int,
+    tile_n: int,
+    n_valid: int,
+    n_ignore: int,
+):
+    j = pl.program_id(1)
+    nn = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_vals[:] = jnp.full(run_vals.shape, NEG_INF, jnp.float32)
+        run_idx[:] = jnp.full(run_idx.shape, -1, jnp.int32)
+
+    tb = q_ref.shape[0]
+    # [TB, TN] scores on the MXU, f32 accumulation.
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores + bias_ref[0, :][None, :]
+
+    base = j * tile_n
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, tile_n), 1) + base
+    scores = jnp.where(cols < n_valid, scores, NEG_INF)
+
+    # Self-exclusion by doc id (static unrolled; n_ignore is small).
+    for t in range(n_ignore):
+        scores = jnp.where(cols == ign_ref[:, t][:, None], NEG_INF, scores)
+
+    # Merge tile candidates with the running top-k: k rounds of
+    # max/argmax/mask over the concatenated [TB, TN + _RUN] candidates.
+    cand_vals = jnp.concatenate([scores, run_vals[:]], axis=-1)
+    cand_idx = jnp.concatenate([cols, run_idx[:]], axis=-1)
+    width = tile_n + _RUN
+    sel_cols = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
+
+    new_vals = []
+    new_idx = []
+    for _ in range(k):
+        m = jnp.max(cand_vals, axis=-1)  # [TB]
+        am = jnp.argmax(cand_vals, axis=-1).astype(jnp.int32)  # [TB]
+        hit = sel_cols == am[:, None]
+        picked = jnp.max(jnp.where(hit, cand_idx, -1), axis=-1)
+        new_vals.append(m)
+        new_idx.append(picked)
+        cand_vals = jnp.where(hit, NEG_INF, cand_vals)
+
+    pad = _RUN - k
+    vals_mat = jnp.stack(new_vals, axis=-1)  # [TB, k]
+    idx_mat = jnp.stack(new_idx, axis=-1)  # [TB, k]
+    if pad:
+        vals_mat = jnp.pad(vals_mat, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        idx_mat = jnp.pad(idx_mat, ((0, 0), (0, pad)), constant_values=-1)
+    run_vals[:] = vals_mat
+    run_idx[:] = idx_mat
+
+    @pl.when(j == nn - 1)
+    def _emit():
+        out_vals_ref[:] = run_vals[:]
+        out_idx_ref[:] = run_idx[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_b", "tile_n", "interpret"),
+)
+def mips_topk(
+    queries: jax.Array,  # [B, D]
+    corpus: jax.Array,  # [N, D] (rows beyond n_valid may be garbage)
+    k: int = 10,
+    row_bias: jax.Array | None = None,  # [N] f32 (e.g. -||e||²/2 for L2)
+    ignore: jax.Array | None = None,  # [B, I] int32 global ids, -1 = none
+    *,
+    tile_b: int = 256,
+    tile_n: int = 2048,
+    interpret: bool | None = None,
+):
+    """Exact top-k maximum-inner-product search. Returns (values f32 [B, k],
+    indices int32 [B, k]) sorted by descending score."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d = queries.shape
+    n, d2 = corpus.shape
+    assert d == d2, (queries.shape, corpus.shape)
+    assert 1 <= k <= _RUN
+
+    d_pad = _round_up(d, 128)
+    tile_n = min(tile_n, _round_up(n, 512))
+    n_pad = _round_up(n, tile_n)
+    tile_b = min(tile_b, _round_up(b, 8))
+    b_pad = _round_up(b, tile_b)
+
+    qp = jnp.zeros((b_pad, d_pad), corpus.dtype)
+    qp = qp.at[:b, :d].set(queries.astype(corpus.dtype))
+    ep = corpus
+    if (n_pad, d_pad) != (n, d):
+        ep = jnp.zeros((n_pad, d_pad), corpus.dtype).at[:n, :d].set(corpus)
+
+    if row_bias is None:
+        biasp = jnp.zeros((1, n_pad), jnp.float32)
+    else:
+        biasp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+            row_bias.astype(jnp.float32)
+        )
+
+    if ignore is None:
+        ign_w = 8
+        ignp = jnp.full((b_pad, ign_w), -1, jnp.int32)
+    else:
+        ign_w = _round_up(ignore.shape[1], 8)
+        ignp = jnp.full((b_pad, ign_w), -1, jnp.int32)
+        ignp = ignp.at[:b, : ignore.shape[1]].set(ignore.astype(jnp.int32))
+
+    grid = (b_pad // tile_b, n_pad // tile_n)
+    kernel = functools.partial(
+        _kernel, k=k, tile_n=tile_n, n_valid=n, n_ignore=ign_w
+    )
+    flops = 2 * b_pad * n_pad * d_pad
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((tile_b, ign_w), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, _RUN), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_b, _RUN), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _RUN), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, _RUN), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, _RUN), jnp.float32),
+            pltpu.VMEM((tile_b, _RUN), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                b_pad * d_pad * 2 + n_pad * d_pad * 2 + b_pad * _RUN * 8
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qp, ep, biasp, ignp)
+    return vals[:b, :k], idx[:b, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mips_topk_xla(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int = 10,
+    row_bias: jax.Array | None = None,
+    ignore: jax.Array | None = None,
+):
+    """XLA reference implementation (materializes [B, N] scores in HBM).
+
+    Used as the correctness oracle for the Pallas kernel and as the
+    fallback path on non-TPU backends.
+    """
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype),
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if row_bias is not None:
+        scores = scores + row_bias.astype(jnp.float32)[None, :]
+    if ignore is not None:
+        n = corpus.shape[0]
+        cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+        hit = (cols[:, None, :] == ignore[:, :, None].astype(jnp.int32)).any(1)
+        scores = jnp.where(hit, NEG_INF, scores)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx.astype(jnp.int32)

@@ -1,0 +1,68 @@
+"""FAISS-style string-factory front door.
+
+The reference selects its index by FAISS factory string
+(`mips_string_factory`, sotasum/model_config.py:50; values seen in-tree:
+"Flat", "IVF256,SQ8", "IVF16,Flat", "IVF{2048,16384_HNSW32,...},Flat" at
+config/no_mips.yaml:108-112). This parser maps those strings onto the TPU
+engines so existing configs keep working:
+
+  * "Flat"          → FlatIndex (exact fused-kernel search)
+  * "IVF<n>,Flat"   → IVFIndex with n clusters
+  * "IVF<n>,SQ8"    → IVFIndex with n clusters (int8 scalar quantization of
+                      the payload is a planned kernel; until then stored at
+                      index dtype — recall is ≥ the SQ8 index it replaces)
+  * "IVF<n>_HNSW32,Flat" → IVFIndex with n clusters (the HNSW coarse
+                      quantizer accelerates CPU centroid lookup; on the MXU
+                      the exact centroid scan is a single small matmul, so
+                      the graph layer is unnecessary)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax.numpy as jnp
+
+from .flat import FlatIndex, build_flat_index
+from .ivf import IVFIndex, build_ivf_index
+
+_IVF_RE = re.compile(r"^IVF(\d+)(?:_HNSW\d+)?$")
+
+
+def parse_factory(spec: str) -> dict[str, Any]:
+    parts = [p.strip() for p in spec.split(",")]
+    if parts == ["Flat"]:
+        return {"kind": "flat"}
+    if len(parts) == 2:
+        m = _IVF_RE.match(parts[0])
+        if m and parts[1] in ("Flat", "SQ8"):
+            return {"kind": "ivf", "n_clusters": int(m.group(1)),
+                    "payload": parts[1].lower()}
+    raise ValueError(f"unsupported index factory: {spec!r}")
+
+
+def build_index_from_factory(
+    embeddings,
+    spec: str,
+    *,
+    metric: str = "ip",
+    normalize: bool = False,
+    dtype=jnp.bfloat16,
+    mesh=None,
+    train_size: int | None = None,
+    seed: int = 0,
+) -> FlatIndex | IVFIndex:
+    """Build an index from a FAISS factory string (reference
+    `add_faiss_index(string_factory=...)`, sotasum/mips.py:333-340)."""
+    p = parse_factory(spec)
+    if p["kind"] == "flat":
+        return build_flat_index(
+            embeddings, metric=metric, normalize=normalize, dtype=dtype,
+            mesh=mesh,
+        )
+    n_clusters = min(p["n_clusters"], max(1, len(embeddings) // 8))
+    return build_ivf_index(
+        embeddings, n_clusters, metric=metric, normalize=normalize,
+        dtype=dtype, train_size=train_size, seed=seed,
+    )

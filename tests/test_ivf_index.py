@@ -1,0 +1,84 @@
+"""IVF index: k-means sanity + recall vs flat truth + nprobe monotonicity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retrieval_augmented_mds_tpu.index.ivf import build_ivf_index, ivf_search, kmeans
+
+
+def _clustered_data(n=4096, d=64, n_true=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = 5.0 * rng.standard_normal((n_true, d))
+    a = rng.integers(0, n_true, n)
+    x = centers[a] + rng.standard_normal((n, d))
+    return x.astype(np.float32)
+
+
+def _recall(ids, ref):
+    b, k = ref.shape
+    return sum(len(set(ids[i]) & set(ref[i])) for i in range(b)) / (b * k)
+
+
+def test_kmeans_reduces_distortion():
+    x = jnp.asarray(_clustered_data())
+    key = jax.random.PRNGKey(0)
+    cent, assign = kmeans(x, key, 32, iters=10)
+
+    def distortion(c):
+        d2 = ((x[:, None] - c[None]) ** 2).sum(-1)
+        return float(d2.min(-1).mean())
+
+    c_rand = jax.random.choice(key, x, shape=(32,), replace=False)
+    assert distortion(cent) < 0.5 * distortion(c_rand)
+    assert int(assign.min()) >= 0 and int(assign.max()) < 32
+
+
+def test_ivf_high_recall_on_clustered_data():
+    x = _clustered_data(n=4096, d=64)
+    rng = np.random.default_rng(1)
+    q = x[rng.integers(0, len(x), 16)] + 0.1 * rng.standard_normal((16, 64)).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=32, dtype=jnp.float32, seed=0)
+
+    s = q.astype(np.float32) @ x.T
+    ref = np.argsort(-s, -1)[:, :10]
+
+    _, ids = ivf_search(idx, jnp.asarray(q), k=10, nprobe=8)
+    assert _recall(np.asarray(ids), ref) >= 0.9
+
+
+def test_nprobe_monotone_recall():
+    x = _clustered_data(n=2048, d=32, seed=2)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=16, dtype=jnp.float32)
+    s = q @ x.T
+    ref = np.argsort(-s, -1)[:, :5]
+    recalls = []
+    for nprobe in (1, 4, 16):
+        _, ids = ivf_search(idx, jnp.asarray(q), k=5, nprobe=nprobe)
+        recalls.append(_recall(np.asarray(ids), ref))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # nprobe = C + spill ⇒ exhaustive ⇒ exact
+
+
+def test_no_document_dropped():
+    """Overflow rows land in the spill buffer, not the floor."""
+    x = _clustered_data(n=512, d=32, n_true=2, seed=4)  # very unbalanced
+    idx = build_ivf_index(x, n_clusters=8, dtype=jnp.float32, alpha=1.0)
+    got = set(np.asarray(idx.clustered_ids).ravel().tolist()) | set(
+        np.asarray(idx.spill_ids).ravel().tolist()
+    )
+    got.discard(-1)
+    assert got == set(range(512))
+
+
+def test_ivf_self_exclusion():
+    x = _clustered_data(n=1024, d=32, seed=5)
+    q = x[:4]  # query == corpus rows
+    idx = build_ivf_index(x, n_clusters=8, dtype=jnp.float32)
+    ignore = jnp.asarray(np.arange(4, dtype=np.int32)[:, None])
+    _, ids = ivf_search(idx, jnp.asarray(q), k=5, nprobe=8, ignore=ignore)
+    ids = np.asarray(ids)
+    for r in range(4):
+        assert r not in set(ids[r])

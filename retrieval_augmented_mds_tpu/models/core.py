@@ -1,0 +1,148 @@
+"""Pure-JAX transformer building blocks.
+
+Replaces the torch/HF module stack (SURVEY.md §2.3 #4). Parameters are
+nested dicts of arrays (pytrees) — trivially shardable with pjit and
+checkpointable with orbax — and every forward is a pure function, so
+`jax.jit` / `jax.grad` / `jax.checkpoint` compose freely.
+
+Conventions: activations [B, T, H]; params f32; matmuls run in the
+caller-chosen compute dtype (bf16 on TPU) with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+NEG_INF = -1e9  # softmax mask value (finite: avoids NaN on all-masked rows)
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def dense_init(key, d_in: int, d_out: int, scale: float = 0.02) -> Params:
+    return {
+        "kernel": scale * jax.random.normal(key, (d_in, d_out), jnp.float32),
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def layernorm_init(d: int) -> Params:
+    return {"scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def embedding_init(key, vocab: int, d: int, scale: float = 0.02) -> Params:
+    return {"table": scale * jax.random.normal(key, (vocab, d), jnp.float32)}
+
+
+def mha_init(key, d_model: int, d_kv: int | None = None) -> Params:
+    d_kv = d_kv or d_model
+    ks = jax.random.split(key, 4)
+    return {
+        "q": dense_init(ks[0], d_model, d_model),
+        "k": dense_init(ks[1], d_kv, d_model),
+        "v": dense_init(ks[2], d_kv, d_model),
+        "o": dense_init(ks[3], d_model, d_model),
+    }
+
+
+def ffn_init(key, d_model: int, d_ffn: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"w1": dense_init(k1, d_model, d_ffn),
+            "w2": dense_init(k2, d_ffn, d_model)}
+
+
+# ---------------------------------------------------------------------------
+# forward primitives
+# ---------------------------------------------------------------------------
+
+def dense(p: Params, x: jax.Array, dtype=None) -> jax.Array:
+    dtype = dtype or x.dtype
+    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(dtype)
+
+
+def layernorm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def embed(p: Params, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
+    return jnp.take(p["table"], ids, axis=0).astype(dtype)
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    b, t, h = x.shape
+    return x.reshape(b, t, n_heads, h // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, nh, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, nh * dh)
+
+
+def attention(
+    p: Params,
+    x_q: jax.Array,  # [B, Tq, H]
+    x_kv: jax.Array,  # [B, Tk, Hkv]
+    n_heads: int,
+    *,
+    mask: jax.Array | None = None,  # broadcastable to [B, 1|nh, Tq, Tk]; True=keep
+    bias: jax.Array | None = None,  # additive logits bias, same broadcast
+    cache: Params | None = None,  # {"k","v" [B, nh, Tmax, dh], "pos" []}
+) -> tuple[jax.Array, Params | None]:
+    """Multi-head attention. With ``cache``, x_kv is the *new* kv chunk to
+    append at cache["pos"] (incremental decode); mask then applies over the
+    full cached length."""
+    dh = p["q"]["kernel"].shape[1] // n_heads
+    q = _split_heads(dense(p["q"], x_q), n_heads)
+    k = _split_heads(dense(p["k"], x_kv), n_heads)
+    v = _split_heads(dense(p["v"], x_kv), n_heads)
+
+    if cache is not None:
+        pos = cache["pos"]
+        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                         (0, 0, pos, 0))
+        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                         (0, 0, pos, 0))
+        cache = {"k": k, "v": v, "pos": pos + x_kv.shape[1]}
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(dh))
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(x_q.dtype))
+    return dense(p["o"], _merge_heads(out)), cache
+
+
+def ffn(p: Params, x: jax.Array) -> jax.Array:
+    return dense(p["w2"], jax.nn.gelu(dense(p["w1"], x)))
+
+
+def make_cache(b: int, n_heads: int, dh: int, t_max: int, dtype) -> Params:
+    return {
+        "k": jnp.zeros((b, n_heads, t_max, dh), dtype),
+        "v": jnp.zeros((b, n_heads, t_max, dh), dtype),
+        "pos": jnp.int32(0),
+    }
+
+
+def causal_mask(t_q: int, t_k: int, offset) -> jax.Array:
+    """[1, 1, Tq, Tk] causal mask where query i sits at position offset+i."""
+    qi = jnp.arange(t_q)[:, None] + offset
+    ki = jnp.arange(t_k)[None, :]
+    return (ki <= qi)[None, None]

@@ -1,0 +1,250 @@
+"""Memory-guided copy heads: per-token copy-vs-generate gating.
+
+Two heads, selected by `use_own_decoder` (reference
+sotasum/retriever_generator.py:266-289):
+
+  * Head A — "own decoder" (sotasum/decoder_own.py): a stack of
+    cross-attention-only layers over the retrieved memory, where the
+    attention logits get a learned score bias ``beta·memory_bias +
+    beta_bias`` (decoder_own.py:110-115) — retrieval scores steer the
+    copy attention. Gates come from `gates_mode` ∈ {nmt, onlycopy, both}
+    (decoder_own.py:527-536).
+
+  * Head B — CopyTokenDecoder (sotasum/decoder.py:194-298): one
+    single-head alignment attention with additive memory bias, FFN, and a
+    diverter Linear(2H→2); vocabulary logits from the tied target
+    embedding.
+
+Both heads end in the same probability mix (retriever_generator.py:391-404,
+decoder.py:266-290):
+    p = gen_gate · softmax(lm_logits)
+    p[copy_seq] += copy_gate · alignment      (scatter-add over vocab ids)
+    out = log(p + 1e-7)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .core import (
+    NEG_INF,
+    Params,
+    dense,
+    dense_init,
+    ffn,
+    ffn_init,
+    layernorm,
+    layernorm_init,
+    mha_init,
+)
+
+EPS = 1e-7  # fp16-era epsilon kept for parity (decoder.py:280-283)
+
+
+# ---------------------------------------------------------------------------
+# shared: probability mixing
+# ---------------------------------------------------------------------------
+
+def mix_copy_probs(
+    lm_logits: jax.Array,  # [B, T, V] f32
+    gen_gate: jax.Array,  # [B, T, 1]
+    copy_probs: jax.Array,  # [B, T, M] (= copy_gate · alignment)
+    copy_seq: jax.Array,  # [B, M] int32 vocab ids of memory tokens
+) -> jax.Array:
+    """Log of the gated mixture; mass conservation: sums to ~1 per token."""
+    b, t, v = lm_logits.shape
+    m = copy_seq.shape[1]
+    probs = gen_gate.astype(jnp.float32) * jax.nn.softmax(
+        lm_logits.astype(jnp.float32), axis=-1
+    )
+    bidx = jnp.arange(b)[:, None, None]
+    tidx = jnp.arange(t)[None, :, None]
+    ids = jnp.broadcast_to(copy_seq[:, None, :], (b, t, m))
+    probs = probs.at[bidx, tidx, ids].add(copy_probs.astype(jnp.float32))
+    return jnp.log(probs + EPS)
+
+
+def copy_distribution_over_vocab(
+    copy_probs: jax.Array, copy_seq: jax.Array, vocab: int
+) -> jax.Array:
+    """[B, T, M] copy mass scattered to [B, T, V] (diagnostics; reference
+    `copy_probs_sentence`, retriever_generator.py:401-403)."""
+    b, t, m = copy_probs.shape
+    out = jnp.zeros((b, t, vocab), jnp.float32)
+    bidx = jnp.arange(b)[:, None, None]
+    tidx = jnp.arange(t)[None, :, None]
+    ids = jnp.broadcast_to(copy_seq[:, None, :], (b, t, m))
+    return out.at[bidx, tidx, ids].add(copy_probs.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Head A: cross-attention copy decoder ("own decoder", decoder_own.py)
+# ---------------------------------------------------------------------------
+
+def init_copy_decoder(
+    key,
+    d_model: int,
+    n_layers: int,
+    d_ffn: int,
+    gates_mode: str = "both",
+) -> Params:
+    assert gates_mode in ("nmt", "onlycopy", "both")
+    ks = jax.random.split(key, n_layers + 1)
+    layers = []
+    for i in range(n_layers):
+        k1, k2 = jax.random.split(ks[i])
+        layers.append(
+            {
+                "cross_attn": mha_init(k1, d_model),
+                "beta": jnp.ones((), jnp.float32),
+                "beta_bias": jnp.zeros((), jnp.float32),
+                "cross_ln": layernorm_init(d_model),
+                "ffn": ffn_init(k2, d_model, d_ffn),
+                "ffn_ln": layernorm_init(d_model),
+            }
+        )
+    div_in = d_model if gates_mode == "onlycopy" else 2 * d_model
+    return {
+        "layers": layers,
+        "align_ln": layernorm_init(d_model),
+        "diverter": dense_init(ks[-1], div_in, 2),
+    }
+
+
+def _biased_cross_attention(
+    lp: Params,
+    x: jax.Array,  # [B, T, H]
+    memory: jax.Array,  # [B, M, H]
+    memory_mask: jax.Array,  # [B, M] {0,1}
+    memory_bias: jax.Array,  # [B, M] retrieval scores
+    n_heads: int,
+):
+    """Single cross-attn with score-biased logits; returns (out, weights).
+
+    The learned scalar gate on the bias is the `beta * attention_bias +
+    beta_bias` mechanism of decoder_own.py:110-115.
+    """
+    from .core import _merge_heads, _split_heads
+
+    dh = lp["cross_attn"]["q"]["kernel"].shape[1] // n_heads
+    q = _split_heads(dense(lp["cross_attn"]["q"], x), n_heads)
+    k = _split_heads(dense(lp["cross_attn"]["k"], memory), n_heads)
+    v = _split_heads(dense(lp["cross_attn"]["v"], memory), n_heads)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(dh))
+    logits = logits + (
+        lp["beta"] * memory_bias.astype(jnp.float32) + lp["beta_bias"]
+    )[:, None, None, :]
+    logits = jnp.where((memory_mask > 0)[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(x.dtype), v)
+    out = dense(lp["cross_attn"]["o"], _merge_heads(out))
+    return out, jnp.mean(w, axis=1)  # weights averaged over heads → [B,T,M]
+
+
+def copy_decoder_forward(
+    params: Params,
+    decoder_hidden: jax.Array,  # [B, T, H] (LED decoder last hidden states)
+    memory: jax.Array,  # [B, M, H]
+    memory_mask: jax.Array,  # [B, M]
+    memory_bias: jax.Array,  # [B, M]
+    *,
+    n_heads: int = 1,
+    gates_mode: str = "both",
+    skip_residual: bool = False,
+):
+    """Returns (gen_gate [B,T,1], copy_gate [B,T,1], copy_probs [B,T,M]).
+
+    Mirrors DecoderForCopyGeneration.forward (decoder_own.py:474-540):
+    copy_probs = copy_gate · (last layer's cross-attention weights).
+    """
+    x = decoder_hidden
+    attn_out, align = None, None
+    for lp in params["layers"]:
+        attn_out, align = _biased_cross_attention(
+            lp, x, memory, memory_mask, memory_bias, n_heads
+        )
+        x = layernorm(lp["cross_ln"], x + attn_out)
+        f = ffn(lp["ffn"], x)
+        x = layernorm(lp["ffn_ln"], f if skip_residual else x + f)
+
+    if gates_mode == "nmt":
+        gates_in = jnp.concatenate(
+            [x, layernorm(params["align_ln"], attn_out)], axis=-1
+        )
+    elif gates_mode == "onlycopy":
+        gates_in = x
+    else:  # "both"
+        gates_in = jnp.concatenate([x, decoder_hidden], axis=-1)
+
+    gates = jax.nn.softmax(
+        dense(params["diverter"], gates_in).astype(jnp.float32), axis=-1
+    )
+    gen_gate, copy_gate = gates[..., :1], gates[..., 1:]
+    copy_probs = copy_gate * align.astype(jnp.float32)
+    return gen_gate, copy_gate, copy_probs
+
+
+# ---------------------------------------------------------------------------
+# Head B: CopyTokenDecoder (decoder.py)
+# ---------------------------------------------------------------------------
+
+def init_copy_token_decoder(key, d_model: int, d_ffn: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "align": mha_init(k1, d_model),
+        "align_ln": layernorm_init(d_model),
+        "ffn": ffn_init(k2, d_model, d_ffn),
+        "ffn_ln": layernorm_init(d_model),
+        "diverter": dense_init(k3, 2 * d_model, 2),
+    }
+
+
+def copy_token_decoder_forward(
+    params: Params,
+    decoder_hidden: jax.Array,  # [B, T, H]
+    memory: jax.Array,  # [B, M, H]
+    memory_mask: jax.Array,  # [B, M]
+    memory_bias: jax.Array,  # [B, M]
+    copy_seq: jax.Array,  # [B, M] vocab ids
+    emb_table: jax.Array,  # [V, H] tied target embedding
+):
+    """Full Head-B path → log-probs [B, T, V] (decoder.py:224-298)."""
+    from .core import _merge_heads, _split_heads
+
+    h = decoder_hidden.shape[-1]
+    q = _split_heads(dense(params["align"]["q"], decoder_hidden), 1)
+    k = _split_heads(dense(params["align"]["k"], memory), 1)
+    v = _split_heads(dense(params["align"]["v"], memory), 1)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(h))
+    logits = logits + memory_bias.astype(jnp.float32)[:, None, None, :]
+    logits = jnp.where((memory_mask > 0)[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)  # [B, 1, T, M]
+    attn = dense(
+        params["align"]["o"],
+        _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w.astype(memory.dtype), v)),
+    )
+    align = w[:, 0]  # single head
+
+    outs = layernorm(params["align_ln"], decoder_hidden + attn)
+    outs = layernorm(params["ffn_ln"], ffn(params["ffn"], outs))
+
+    gates_in = jnp.concatenate(
+        [outs, layernorm(params["align_ln"], attn)], axis=-1
+    )
+    gates = jax.nn.softmax(
+        dense(params["diverter"], gates_in).astype(jnp.float32), axis=-1
+    )
+    gen_gate, copy_gate = gates[..., :1], gates[..., 1:]
+
+    vocab_logits = jnp.einsum(
+        "bth,vh->btv", outs, emb_table.astype(outs.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return mix_copy_probs(
+        vocab_logits, gen_gate, copy_gate * align.astype(jnp.float32), copy_seq
+    )

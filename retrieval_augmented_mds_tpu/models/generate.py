@@ -1,0 +1,248 @@
+"""Jit-compiled autoregressive generation (greedy + beam) with memory.
+
+Replaces HF `GenerationMixin.generate` as used by the reference
+(sotasum/lightning_model.py:298-325, beam expansion of memory tensors at
+sotasum/retriever_generator.py:297-344, cache reorder at :346-347) with a
+`lax.scan` decode loop: static shapes, KV caches updated in place, beams
+laid out as a folded batch axis, and beam reordering = one gather of the
+cache pytree. Supports eos stopping, min/max length, length penalty, and
+no-repeat-ngram banning (GenerationConfig knobs at config/no_mips.yaml:
+136-185: num_beams=4, max_new_tokens=256, no_repeat_ngram_size=3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from .retriever_generator import RAGConfig, RAGEncoderOutput, rag_decode
+
+NEG = -1.0e9
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationOptions:
+    max_new_tokens: int = 64
+    num_beams: int = 1
+    min_length: int = 1
+    no_repeat_ngram_size: int = 0
+    length_penalty: float = 1.0
+    decoder_start_id: int = 2  # LED/BART decoder_start_token_id
+
+
+def _ban_repeated_ngrams(
+    seqs: jax.Array,  # [B, Tmax] generated so far (pad beyond cur_len)
+    cur_len: jax.Array,  # [] current length
+    logp: jax.Array,  # [B, V]
+    n: int,
+) -> jax.Array:
+    """Mask tokens that would complete an n-gram already present."""
+    if n <= 0:
+        return logp
+    b, tmax = seqs.shape
+    v = logp.shape[-1]
+    # suffix = last n-1 tokens
+    pos = jnp.arange(tmax)
+    # window starting at i matches suffix if seqs[i:i+n-1] == suffix
+    # build [B, T, n-1] windows
+    idx = pos[:, None] + jnp.arange(n - 1)[None, :]  # [T, n-1]
+    idx = jnp.minimum(idx, tmax - 1)
+    windows = seqs[:, idx]  # [B, T, n-1]
+    suffix_idx = cur_len - (n - 1) + jnp.arange(n - 1)
+    suffix = seqs[:, jnp.maximum(suffix_idx, 0)]  # [B, n-1]
+    match = jnp.all(windows == suffix[:, None, :], axis=-1)  # [B, T]
+    # window must be fully inside history and its continuation observed
+    valid = (pos[None, :] + n - 1 < cur_len) & (cur_len >= n - 1)
+    match = match & valid
+    cont_idx = jnp.minimum(pos + n - 1, tmax - 1)
+    cont = seqs[:, cont_idx]  # [B, T] continuation token of window at i
+    banned = jnp.zeros((b, v), bool)
+    banned = banned.at[
+        jnp.arange(b)[:, None], cont
+    ].max(match)
+    return jnp.where(banned, NEG, logp)
+
+
+def _expand_beams(tree, beams: int):
+    """Repeat every [B, ...] leaf to [B*beams, ...] (beam-major fold)."""
+
+    def rep(x):
+        if x is None or not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        return jnp.repeat(x, beams, axis=0)
+
+    return jax.tree_util.tree_map(rep, tree, is_leaf=lambda v: v is None)
+
+
+def generate(
+    params,
+    cfg: RAGConfig,
+    enc_out: RAGEncoderOutput,
+    opts: GenerationOptions,
+    *,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Returns generated ids [B, max_new_tokens] (pad-filled after eos).
+
+    Retrieval happens ONCE (in `rag_encode`, before decoding — the
+    reference's semantics at sotasum/lightning_model.py:301-306); memory is
+    fixed for all decode steps and beam-expanded here.
+    """
+    if opts.num_beams <= 1:
+        return _greedy(params, cfg, enc_out, opts, dtype)
+    return _beam(params, cfg, enc_out, opts, dtype)
+
+
+def _step_fn(params, cfg, dtype):
+    def step(enc_out, tok, caches, pos):
+        out, _, caches = rag_decode(
+            params, cfg, enc_out, tok[:, None], caches=caches,
+            pos_offset=pos, dtype=dtype,
+        )
+        out = out[:, 0]  # [B, V]
+        if cfg.mips_disabled or enc_out.memory is None:
+            logp = jax.nn.log_softmax(out, axis=-1)
+        else:
+            logp = out  # already log-probs from the copy mixture
+        return logp, caches
+
+    return step
+
+
+def _init_caches(params, cfg, b, t_max, dtype):
+    from .led import init_decode_caches
+
+    return init_decode_caches(params, cfg.led, b, t_max, dtype)
+
+
+def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
+    b = enc_out.enc_hidden.shape[0]
+    t_max = opts.max_new_tokens
+    pad, eos = cfg.led.pad_id, cfg.led.eos_id
+    step = _step_fn(params, cfg, dtype)
+    caches = _init_caches(params, cfg, b, t_max + 1, dtype)
+
+    seqs0 = jnp.full((b, t_max + 1), pad, jnp.int32)
+    seqs0 = seqs0.at[:, 0].set(opts.decoder_start_id)
+
+    def body(carry, t):
+        seqs, caches, done = carry
+        tok = jnp.take_along_axis(seqs, t[None, None], axis=1)[:, 0]
+        logp, caches = step(enc_out, tok, caches, t)
+        logp = _ban_repeated_ngrams(
+            seqs, t + 1, logp, opts.no_repeat_ngram_size
+        )
+        logp = jnp.where(
+            (t + 1 < opts.min_length)
+            & (jnp.arange(logp.shape[-1]) == eos)[None, :],
+            NEG,
+            logp,
+        )
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad, nxt)
+        seqs = seqs.at[:, t + 1].set(nxt)
+        done = done | (nxt == eos)
+        return (seqs, caches, done), None
+
+    (seqs, _, _), _ = jax.lax.scan(
+        body, (seqs0, caches, jnp.zeros((b,), bool)), jnp.arange(t_max)
+    )
+    return seqs[:, 1:]
+
+
+def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
+    b = enc_out.enc_hidden.shape[0]
+    beams = opts.num_beams
+    bb = b * beams
+    t_max = opts.max_new_tokens
+    pad, eos = cfg.led.pad_id, cfg.led.eos_id
+    step = _step_fn(params, cfg, dtype)
+
+    # beam-expand encoder outputs + memory (reference index_select at
+    # retriever_generator.py:314-334)
+    enc_out = RAGEncoderOutput(**_expand_beams(dataclasses.asdict(enc_out), beams))
+    caches = _init_caches(params, cfg, bb, t_max + 1, dtype)
+
+    seqs0 = jnp.full((bb, t_max + 1), pad, jnp.int32)
+    seqs0 = seqs0.at[:, 0].set(opts.decoder_start_id)
+    # beam 0 live, others dead at start
+    scores0 = jnp.tile(
+        jnp.asarray([0.0] + [NEG] * (beams - 1))[None, :], (b, 1)
+    )
+
+    fin_seqs0 = jnp.full((b, beams, t_max + 1), pad, jnp.int32)
+    fin_scores0 = jnp.full((b, beams), NEG)
+
+    def body(carry, t):
+        seqs, caches, scores, fin_seqs, fin_scores = carry
+        tok = jnp.take_along_axis(seqs, t[None, None], axis=1)[:, 0]
+        logp, new_caches = step(enc_out, tok, caches, t)  # [bb, V]
+        v = logp.shape[-1]
+        logp = _ban_repeated_ngrams(
+            seqs, t + 1, logp, opts.no_repeat_ngram_size
+        )
+        logp = jnp.where(
+            (t + 1 < opts.min_length)
+            & (jnp.arange(v) == eos)[None, :],
+            NEG,
+            logp,
+        )
+        total = scores.reshape(bb, 1) + logp  # [bb, V]
+        total = total.reshape(b, beams * v)
+        top_scores, top_idx = jax.lax.top_k(total, 2 * beams)  # [b, 2*beams]
+        src_beam = top_idx // v  # [b, 2*beams]
+        tok_id = (top_idx % v).astype(jnp.int32)
+
+        is_eos = tok_id == eos
+        # finished candidates → push into finished set (length penalty)
+        lp = jnp.power(
+            (5.0 + (t + 1).astype(jnp.float32)) / 6.0, opts.length_penalty
+        )
+        cand_fin = jnp.where(is_eos, top_scores / lp, NEG)  # [b, 2*beams]
+        # build candidate finished seqs
+        src_flat = (jnp.arange(b)[:, None] * beams + src_beam).reshape(-1)
+        cand_seqs = seqs[src_flat].reshape(b, 2 * beams, t_max + 1)
+        cand_seqs = cand_seqs.at[:, :, t + 1].set(
+            jnp.where(is_eos, pad, tok_id)
+        )
+        all_fin_scores = jnp.concatenate([fin_scores, cand_fin], axis=1)
+        all_fin_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        fin_top, fin_pos = jax.lax.top_k(all_fin_scores, beams)
+        fin_seqs = jnp.take_along_axis(
+            all_fin_seqs, fin_pos[:, :, None], axis=1
+        )
+        fin_scores = fin_top
+
+        # alive candidates: non-eos, first `beams`
+        alive_scores = jnp.where(is_eos, NEG, top_scores)
+        alive_top, alive_pos = jax.lax.top_k(alive_scores, beams)  # [b,beams]
+        alive_beam = jnp.take_along_axis(src_beam, alive_pos, axis=1)
+        alive_tok = jnp.take_along_axis(tok_id, alive_pos, axis=1)
+
+        gather = (jnp.arange(b)[:, None] * beams + alive_beam).reshape(-1)
+        seqs = seqs[gather].reshape(bb, t_max + 1)
+        seqs = seqs.at[:, t + 1].set(alive_tok.reshape(-1))
+        caches = jax.tree_util.tree_map(
+            lambda x: x[gather] if getattr(x, "ndim", 0) >= 1
+            and x.shape[0] == bb else x,
+            new_caches,
+        )
+        return (seqs, caches, alive_top, fin_seqs, fin_scores), None
+
+    carry, _ = jax.lax.scan(
+        body, (seqs0, caches, scores0, fin_seqs0, fin_scores0),
+        jnp.arange(t_max),
+    )
+    seqs, _, scores, fin_seqs, fin_scores = carry
+
+    # fall back to best alive beam if nothing finished
+    lp = jnp.power((5.0 + t_max) / 6.0, opts.length_penalty)
+    alive_best = scores[:, 0] / lp
+    use_fin = fin_scores[:, 0] > alive_best
+    best_alive = seqs.reshape(b, beams, t_max + 1)[:, 0]
+    best = jnp.where(use_fin[:, None], fin_seqs[:, 0], best_alive)
+    return best[:, 1:]

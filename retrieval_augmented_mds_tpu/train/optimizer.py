@@ -1,0 +1,79 @@
+"""Optimizer: AdamW + linear warmup, with freeze policies.
+
+Replaces DeepSpeedCPUAdam / FusedAdam + `get_linear_schedule_with_warmup`
+(sotasum/lightning_model.py:418-433, pretrain.py:605-614). On TPU the
+ZeRO-2 equivalent is not an optimizer implementation at all — it's the
+sharding annotation on the optax state (parallel/zero.py); the update
+itself is the plain fused-by-XLA adamw.
+
+Freeze policies (reference `setup` at sotasum/lightning_model.py:140-146:
+`mips_freezed`, `mips_encoder_freezed`, `query_encoder` freezing) are a
+gradient mask over top-level param groups.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import jax
+import optax
+
+
+def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
+    """HF get_linear_schedule_with_warmup semantics."""
+    warmup_steps = max(1, warmup_steps)
+
+    def sched(step):
+        import jax.numpy as jnp
+
+        s = jnp.asarray(step, jnp.float32)
+        warm = s / warmup_steps
+        decay = jnp.maximum(
+            0.0, (total_steps - s) / max(1, total_steps - warmup_steps)
+        )
+        return lr * jnp.where(s < warmup_steps, warm, decay)
+
+    return sched
+
+
+def freeze_mask(params, frozen_groups: Iterable[str]):
+    """Bool pytree: True = trainable. ``frozen_groups`` are top-level param
+    keys ('query_encoder', 'mips_encoder', 'memory_encoder', 'led', ...)."""
+    frozen = set(frozen_groups)
+
+    def group_mask(name, sub):
+        val = name not in frozen
+        return jax.tree_util.tree_map(lambda _: val, sub)
+
+    return {k: group_mask(k, v) for k, v in params.items()}
+
+
+def build_optimizer(
+    lr: float,
+    warmup_steps: int = 1000,
+    total_steps: int = 100_000,
+    weight_decay: float = 0.0,
+    grad_clip: float | None = None,  # reference gradient_clip_val 0.1
+    frozen_groups: Iterable[str] = (),
+    params=None,
+):
+    """Returns an optax GradientTransformation."""
+    sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(sched, weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    frozen = set(frozen_groups)
+    if frozen:
+        assert params is not None, "freeze needs params structure"
+        labels = {
+            k: jax.tree_util.tree_map(
+                lambda _: "freeze" if k in frozen else "train", v
+            )
+            for k, v in params.items()
+        }
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx

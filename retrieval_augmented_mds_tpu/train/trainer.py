@@ -1,0 +1,223 @@
+"""Train step + train-time index refresh.
+
+Replaces the Lightning orchestration layer (`LongformerLightning`,
+sotasum/lightning_model.py:91-433):
+
+  * `train_step` — jitted value_and_grad + optax update. Data parallelism
+    = batch sharded over the mesh ``data`` axis; XLA inserts the gradient
+    reduction from the sharding constraints (the NCCL all-reduce of
+    SURVEY.md §2.2 row 1). ZeRO-2 = optimizer state sharded by
+    parallel/zero.py specs.
+  * copy-mechanism diagnostics logged per step (reference
+    lightning_model.py:239-266).
+  * `refresh_store` — the train-time index rebuild. The reference's
+    barrier-stepped filesystem protocol (encode per rank → Arrow shards →
+    rank-0 FAISS build → all-rank reload; SURVEY.md §3.2) collapses into:
+    re-embed the corpus on device under the CURRENT mips encoder, build a
+    new FlatIndex, return a new MemoryStore. Double buffering is a
+    pointer swap in the caller's loop; between refreshes queries hit the
+    stale index while decoder-facing scores stay fresh (stale-tolerance
+    semantics of lightning_model.py:148-162 preserved).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..index.flat import build_flat_index
+from ..models.longformer import longformer_encode
+from ..models.retriever_generator import (
+    MemoryStore,
+    RAGConfig,
+    rag_forward,
+)
+from .loss import summarization_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @staticmethod
+    def create(params, tx):
+        return TrainState(
+            params=params, opt_state=tx.init(params), step=jnp.int32(0)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHyper:
+    """Training knobs of the reference ModelConfig (model_config.py:17-22)
+    + trainer YAML (no_mips.yaml:58-60)."""
+
+    lr: float = 3e-5
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    label_smoothing_eps: float = 0.1
+    grad_clip: float | None = 0.1
+    weight_decay: float = 0.0
+    accumulate_steps: int = 1
+    mips_rebuild_every: int = 650  # no_mips.yaml:114
+    frozen_groups: tuple[str, ...] = ()  # mips_freezed etc.
+
+
+def make_train_step(
+    cfg: RAGConfig,
+    tx: optax.GradientTransformation,
+    hyper: TrainHyper,
+    *,
+    mesh=None,
+    dtype=jnp.float32,
+    remat: bool = False,
+) -> Callable:
+    """Returns jitted (state, store, batch, copy_force) → (state, metrics)."""
+
+    def loss_fn(params, store, batch, copy_force):
+        out, aux, enc_out = rag_forward(
+            params, cfg, store, batch, mesh=mesh, dtype=dtype, remat=remat,
+            copy_force=copy_force,
+        )
+        if cfg.mips_disabled or enc_out.memory is None:
+            log_probs = jax.nn.log_softmax(out, axis=-1)
+        else:
+            log_probs = out
+        loss = summarization_loss(
+            log_probs, batch["labels"], hyper.label_smoothing_eps,
+            cfg.led.pad_id,
+        )
+        metrics = {"loss": loss}
+        if aux.get("copy_gate") is not None:
+            # copy diagnostics (lightning_model.py:239-266)
+            mask = (batch["labels"] != cfg.led.pad_id)[..., None]
+            metrics["copy_gate_mean"] = jnp.sum(
+                aux["copy_gate"] * mask
+            ) / jnp.maximum(jnp.sum(mask), 1)
+            metrics["copy_probs_mass"] = jnp.mean(
+                jnp.sum(aux["copy_probs"], axis=-1)
+            )
+        if enc_out.mips_scores is not None:
+            metrics["mips_score_mean"] = jnp.mean(enc_out.mips_scores)
+        return loss, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, store, batch, copy_force):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, store, batch, copy_force
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_retriever_train_step(cfg, tx, *, dtype=jnp.float32, remat=False,
+                              gather_axis=None):
+    """Contrastive pretraining step (reference RetrieverLightning
+    training_step, sotasum/retriever_lightning.py:197-281)."""
+    from ..retriever.contrastive import contrastive_loss
+
+    def loss_fn(params, batch):
+        return contrastive_loss(
+            params, cfg, batch, dtype=dtype, remat=remat,
+            gather_axis=gather_axis,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Index refresh
+# ---------------------------------------------------------------------------
+
+def encode_corpus(
+    enc_params,
+    enc_cfg,
+    token_ids: jax.Array,  # [N, L]
+    token_mask: jax.Array,
+    *,
+    batch_size: int = 64,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """CLS-embed the whole corpus in fixed-size batches (the reference's
+    `encode_text2` datasets.map pass, sotasum/mips.py:226-244 — without the
+    per-rank Arrow shards: one jitted function, batch-sharded over the
+    mesh)."""
+    n, L = token_ids.shape
+    pad = (-n) % batch_size
+    if pad:
+        token_ids = jnp.concatenate(
+            [token_ids, jnp.tile(token_ids[:1], (pad, 1))], 0
+        )
+        token_mask = jnp.concatenate(
+            [token_mask, jnp.tile(token_mask[:1], (pad, 1))], 0
+        )
+
+    @jax.jit
+    def enc(ids, mask):
+        hid = longformer_encode(enc_params, enc_cfg, ids, mask, dtype=dtype)
+        return hid[:, 0].astype(jnp.float32)
+
+    outs = []
+    for i in range(0, token_ids.shape[0], batch_size):
+        outs.append(enc(token_ids[i : i + batch_size],
+                        token_mask[i : i + batch_size]))
+    return jnp.concatenate(outs, axis=0)[:n]
+
+
+def refresh_store(
+    params,
+    cfg: RAGConfig,
+    store: MemoryStore,
+    *,
+    mesh=None,
+    batch_size: int = 64,
+    dtype=jnp.float32,
+) -> MemoryStore:
+    """Rebuild the index under the current mips encoder weights — the
+    whole of SURVEY.md §3.2 as one function. Returns the NEW buffer; the
+    caller swaps pointers (double buffering)."""
+    n = store.index.n
+    emb = encode_corpus(
+        params["mips_encoder"], cfg.mips_enc,
+        store.token_ids[:n], store.token_mask[:n],
+        batch_size=batch_size, dtype=dtype,
+    )
+    index = build_flat_index(
+        emb,
+        metric=store.index.metric,
+        normalize=store.index.normalized,
+        dtype=store.index.embeddings.dtype,
+        mesh=mesh,
+    )
+    return MemoryStore(
+        index=index,
+        token_ids=store.token_ids,
+        token_mask=store.token_mask,
+        row_aids=store.row_aids,
+    )

@@ -1,0 +1,157 @@
+"""Corpus construction for Multi-XScience / arXiv.
+
+Ports the host-side corpus semantics of sotasum/data_loaders.py:24-191:
+
+  * `load_multi_x_science` — HF dataset + a running global `index` column
+    (data_loaders.py:24-36),
+  * `build_mips_corpus` — the MIPS corpus builder: for `ref_abstract`,
+    explode every cited abstract, drop empties, dedup by text, and
+    aggregate the `index`/`aid` lists per unique abstract
+    (data_loaders.py:39-95); for `related_work`, strip `@cite_N` → "cite"
+    (data_loaders.py:84-93),
+  * `aggregate_by_aid` — groupby-aid merge used by the aggregated dataset
+    (data_loaders.py:378-425, data_modules.py:192-215),
+  * arXiv corpus loaders with `@math` substitution + dedup
+    (data_loaders.py:98-157).
+
+All pure pandas — runs with or without the HF hub. For offline
+development and tests, `synthetic_multi_x_science` generates
+schema-compatible records.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+CITE_RE = re.compile(r"\@cite_\d+")
+MATH_RE = re.compile(r"\@math")
+
+
+def strip_cites(text: str) -> str:
+    """`@cite_12` → "cite" (data_loaders.py:84-93, :275)."""
+    return CITE_RE.sub("cite", text)
+
+
+def load_multi_x_science(path: str = "multi_x_science_sum", cache_dir=None):
+    """HF dataset dict with a global running `index` column."""
+    import datasets
+
+    data = datasets.load_dataset(path, cache_dir=cache_dir)
+    counter = iter(range(sum(len(v) for v in data.values())))
+    return data.map(lambda x: {"index": next(counter)})
+
+
+def synthetic_multi_x_science(
+    n: int = 64, n_refs: int = 3, seed: int = 0
+) -> pd.DataFrame:
+    """Schema-compatible synthetic records (offline dev/test corpus)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(200)]
+
+    def sent(k=12):
+        return " ".join(rng.choice(words, k))
+
+    rows = []
+    for i in range(n):
+        refs = rng.integers(1, n_refs + 1)
+        ref_aids = [f"a{rng.integers(0, n)}" for _ in range(refs)]
+        rows.append(
+            {
+                "aid": f"a{i}",
+                "mid": f"m{i}",
+                "abstract": sent(20),
+                "related_work": f"@cite_{i % 7} " + sent(18),
+                "ref_abstract": {
+                    "cite_N": [f"@cite_{j}" for j in range(refs)],
+                    "abstract": [
+                        sent(15) if rng.random() > 0.1 else "" for _ in range(refs)
+                    ],
+                    "aid": ref_aids,
+                },
+                "index": i,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_mips_corpus(df: pd.DataFrame, column: str = "ref_abstract") -> pd.DataFrame:
+    """MIPS corpus with `mips_column` text + aggregated id lists.
+
+    Returns columns: mips_column (unique text), index (list), aid (list).
+    """
+    if column == "ref_abstract":
+        ex = df.copy()
+        ex["ref_abstract_abstract"] = ex["ref_abstract"].apply(
+            lambda r: list(r["abstract"])
+        )
+        ex["ref_aid"] = ex["ref_abstract"].apply(
+            lambda r: list(r.get("aid", [""] * len(r["abstract"])))
+        )
+        ex = ex.explode(["ref_abstract_abstract", "ref_aid"])
+        ex = ex[ex["ref_abstract_abstract"] != ""].reset_index(drop=True)
+        out = (
+            ex.groupby("ref_abstract_abstract")
+            .agg(index=("index", list), aid=("aid", list),
+                 ref_aid=("ref_aid", list))
+            .reset_index()
+            .rename(columns={"ref_abstract_abstract": "mips_column"})
+        )
+        return out
+    if column == "related_work":
+        out = df.copy()
+        out["mips_column"] = out["related_work"].map(strip_cites)
+        out["index"] = out["index"].apply(lambda i: [i])
+        out["aid"] = out["aid"].apply(lambda a: [a])
+        return out[["mips_column", "index", "aid"]]
+    raise ValueError(f"unknown corpus column {column!r}")
+
+
+def aggregate_by_aid(df: pd.DataFrame) -> pd.DataFrame:
+    """Groupby-aid merge (reference data_modules.py:192-215 /
+    data_loaders.py:378-425): one row per target paper, ref abstracts
+    concatenated, related-work sections joined."""
+    def merge_refs(series):
+        keys = series.iloc[0].keys()
+        return {
+            k: [j for r in series for j in r[k] if bool(j)] for k in keys
+        }
+
+    out = df.groupby("aid", as_index=False).agg(
+        mid=("mid", "first"),
+        abstract=("abstract", "first"),
+        ref_abstract=("ref_abstract", merge_refs),
+        related_work=("related_work", " ".join),
+    )
+    out["index"] = np.arange(len(out))
+    return out
+
+
+def load_mips_arxiv(df: pd.DataFrame, column: str = "abstract") -> pd.DataFrame:
+    """arXiv abstracts corpus: `@math` substitution + dedup
+    (data_loaders.py:98-157)."""
+    out = df.copy()
+    out["mips_column"] = out[column].map(lambda t: MATH_RE.sub("math", t))
+    out = out.drop_duplicates("mips_column").reset_index(drop=True)
+    out["index"] = out["index"].apply(
+        lambda i: i if isinstance(i, list) else [i]
+    )
+    if "aid" in out:
+        out["aid"] = out["aid"].apply(
+            lambda a: a if isinstance(a, list) else [a]
+        )
+    else:
+        out["aid"] = [[] for _ in range(len(out))]
+    return out[["mips_column", "index", "aid"]]
+
+
+def add_aid_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge per-aid example counts (reference data_modules.py:207-215,
+    data_loaders.py:213-218) — the denominator of retriever recall."""
+    counts = df["aid"].value_counts()
+    out = df.copy()
+    out["aid_counts"] = out["aid"].map(counts)
+    return out

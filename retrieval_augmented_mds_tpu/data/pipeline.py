@@ -1,0 +1,221 @@
+"""Host-side preprocessing: text → fixed-shape device-ready arrays.
+
+Rebuilds the reference's offline tokenize pipeline + dataloaders
+(`RGMultiXScienceDataModule`, sotasum/data_modules.py:158-330; per-item
+assembly at sotasum/data_loaders.py:194-300) for the TPU execution model:
+everything is tokenized once into fixed-shape numpy arrays, batches are
+plain dicts of arrays (no ragged collation), and the corpus side becomes
+the `MemoryStore` payload (pre-tokenized [N, L_mem] ids + integer aid
+lists) that lives in HBM.
+
+Notable mapping decisions:
+  * `input` = abstract [+ non-empty ref abstracts] joined by `<DOC_SEP>`;
+    `query_input` = abstract; `target` = related_work with `@cite_N` →
+    "cite" (data_modules.py:270-285, data_loaders.py:249-275). The
+    `source_memory` flag swaps the composition (data_loaders.py:249-267).
+  * self-exclusion: the reference passes the example's corpus row ids to
+    FAISS search (`ignore_indexes`); here that is a fixed-width
+    `mips_ignore` int array per example (SURVEY.md §7.3 static-shape rule).
+  * string aids become integer ids via a host-side vocabulary so metrics
+    run on device (reference compares Python strings, mips.py:458-462).
+  * train shuffling defaults ON; the reference ships `shuffle=False` even
+    for train (data_modules.py:319 — SURVEY.md §7.3 quirk, fixed here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+
+from .corpus import add_aid_counts, build_mips_corpus, strip_cites
+
+
+def _pad_lists(lists, width: int, fill: int = -1) -> np.ndarray:
+    out = np.full((len(lists), width), fill, np.int32)
+    for i, row in enumerate(lists):
+        row = list(row)[:width]
+        out[i, : len(row)] = row
+    return out
+
+
+def build_aid_vocab(df: pd.DataFrame, corpus: pd.DataFrame) -> dict[str, int]:
+    aids: set[str] = set(df["aid"])
+    for row in corpus["aid"]:
+        aids.update(row)
+    if "ref_aid" in corpus:
+        for row in corpus["ref_aid"]:
+            aids.update(a for a in row if a)
+    return {a: i for i, a in enumerate(sorted(aids))}
+
+
+def prepare_memory_store_arrays(
+    corpus: pd.DataFrame,
+    tokenizer,
+    *,
+    memory_len: int = 128,
+    aid_vocab: dict[str, int] | None = None,
+    max_aids: int = 8,
+) -> dict[str, np.ndarray]:
+    """Corpus text → {token_ids [N, L], token_mask [N, L], row_aids [N, A]}.
+
+    The tokenized corpus is the device-side replacement for re-tokenizing
+    retrieved strings every step (sotasum/mips.py:465-476).
+    """
+    toks = tokenizer(list(corpus["mips_column"]), max_length=memory_len)
+    out = {
+        "token_ids": toks["input_ids"],
+        "token_mask": toks["attention_mask"],
+    }
+    if aid_vocab is not None:
+        ids = [
+            [aid_vocab[a] for a in row if a in aid_vocab]
+            for row in corpus["aid"]
+        ]
+        out["row_aids"] = _pad_lists(ids, max_aids)
+    return out
+
+
+def prepare_rag_examples(
+    df: pd.DataFrame,
+    corpus: pd.DataFrame,
+    tokenizer,
+    query_tokenizer,
+    *,
+    max_length: int = 1024,
+    query_max_length: int = 256,
+    decoder_max_length: int = 256,
+    doc_sep: str = "<DOC_SEP>",
+    source_memory: bool = False,
+    aid_vocab: dict[str, int] | None = None,
+    max_ignore: int = 8,
+) -> dict[str, np.ndarray]:
+    """Examples → fixed-shape arrays (the offline `prepare_data` pass)."""
+    df = add_aid_counts(df)
+
+    inputs, queries, targets = [], [], []
+    for _, item in df.iterrows():
+        refs = [a for a in item["ref_abstract"]["abstract"] if a != ""]
+        if source_memory:
+            inputs.append(item["abstract"])
+            queries.append(" ".join([item["abstract"]] + refs))
+        else:
+            inputs.append(doc_sep.join([item["abstract"]] + refs))
+            queries.append(item["abstract"])
+        targets.append(strip_cites(item["related_work"]))
+
+    enc = tokenizer(inputs, max_length=max_length)
+    q = query_tokenizer(queries, max_length=query_max_length)
+    tgt = tokenizer(targets, max_length=decoder_max_length)
+
+    # inverse map: example index → corpus rows containing it (self-exclusion)
+    row_of: dict[int, list[int]] = {}
+    for rid, idx_list in enumerate(corpus["index"]):
+        for ex in idx_list:
+            row_of.setdefault(int(ex), []).append(rid)
+    ignore = [row_of.get(int(i), []) for i in df["index"]]
+
+    out = {
+        "input_ids": enc["input_ids"],
+        "attention_mask": enc["attention_mask"],
+        "query_input_ids": q["input_ids"],
+        "query_attention_mask": q["attention_mask"],
+        "labels": tgt["input_ids"],
+        "mips_ignore": _pad_lists(ignore, max_ignore),
+        "aid_counts": df["aid_counts"].to_numpy(np.int32),
+    }
+    if aid_vocab is not None:
+        out["gold_aid"] = np.asarray(
+            [aid_vocab.get(a, -1) for a in df["aid"]], np.int32
+        )
+    return out
+
+
+def prepare_pretrain_pairs(
+    df: pd.DataFrame,
+    query_tokenizer,
+    mips_tokenizer,
+    *,
+    mode: str = "abstract",  # "abstract": abstract↔cited ref (data_loaders.py:520-598)
+    # "related": abstract↔related_work           (data_loaders.py:428-517)
+    query_max_length: int = 256,
+    mips_max_length: int = 256,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Positive pairs for contrastive retriever pretraining."""
+    rng = np.random.default_rng(seed)
+    queries, positives = [], []
+    for _, item in df.iterrows():
+        if mode == "related":
+            queries.append(item["abstract"])
+            positives.append(strip_cites(item["related_work"]))
+        else:
+            refs = [a for a in item["ref_abstract"]["abstract"] if a != ""]
+            if not refs:
+                continue
+            queries.append(item["abstract"])
+            positives.append(refs[rng.integers(0, len(refs))])
+    q = query_tokenizer(queries, max_length=query_max_length)
+    m = mips_tokenizer(positives, max_length=mips_max_length)
+    return {
+        "query_input_ids": q["input_ids"],
+        "query_attention_mask": q["attention_mask"],
+        "mips_input_ids": m["input_ids"],
+        "mips_attention_mask": m["attention_mask"],
+    }
+
+
+@dataclasses.dataclass
+class RAGDataModule:
+    """End-to-end host pipeline: corpus build + tokenize + batch iterator."""
+
+    df: pd.DataFrame
+    tokenizer: Any
+    query_tokenizer: Any
+    corpus_column: str = "ref_abstract"
+    max_length: int = 1024
+    query_max_length: int = 256
+    decoder_max_length: int = 256
+    memory_len: int = 128
+    source_memory: bool = False
+    doc_sep: str = "<DOC_SEP>"
+
+    def prepare(self):
+        self.corpus = build_mips_corpus(self.df, self.corpus_column)
+        self.aid_vocab = build_aid_vocab(self.df, self.corpus)
+        self.store_arrays = prepare_memory_store_arrays(
+            self.corpus, self.tokenizer, memory_len=self.memory_len,
+            aid_vocab=self.aid_vocab,
+        )
+        self.examples = prepare_rag_examples(
+            self.df, self.corpus, self.tokenizer, self.query_tokenizer,
+            max_length=self.max_length,
+            query_max_length=self.query_max_length,
+            decoder_max_length=self.decoder_max_length,
+            doc_sep=self.doc_sep, source_memory=self.source_memory,
+            aid_vocab=self.aid_vocab,
+        )
+        return self
+
+    @property
+    def n_examples(self) -> int:
+        return len(self.examples["input_ids"])
+
+    @property
+    def corpus_size(self) -> int:
+        return len(self.store_arrays["token_ids"])
+
+    def batches(
+        self, batch_size: int, *, shuffle: bool = True, seed: int = 0,
+        drop_last: bool = True,
+    ) -> Iterator[dict[str, np.ndarray]]:
+        n = self.n_examples
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        stop = n - (n % batch_size) if drop_last else n
+        for i in range(0, stop, batch_size):
+            sel = order[i : i + batch_size]
+            yield {k: v[sel] for k, v in self.examples.items()}

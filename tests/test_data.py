@@ -1,0 +1,102 @@
+"""Data layer: corpus semantics, tokenization, pipeline shapes."""
+
+import numpy as np
+
+from retrieval_augmented_mds_tpu.data import (
+    HashTokenizer,
+    RAGDataModule,
+    build_mips_corpus,
+    prepare_pretrain_pairs,
+    strip_cites,
+    synthetic_multi_x_science,
+)
+from retrieval_augmented_mds_tpu.data.corpus import add_aid_counts, aggregate_by_aid
+
+
+def test_strip_cites():
+    assert strip_cites("see @cite_12 and @cite_3.") == "see cite and cite."
+
+
+def test_mips_corpus_dedup_and_aggregation():
+    df = synthetic_multi_x_science(40)
+    corpus = build_mips_corpus(df, "ref_abstract")
+    # dedup: unique text
+    assert corpus["mips_column"].is_unique
+    # no empties survived
+    assert (corpus["mips_column"] != "").all()
+    # aggregated id lists: every source example index present somewhere
+    all_idx = {i for row in corpus["index"] for i in row}
+    exploded = {
+        int(r["index"])
+        for _, r in df.iterrows()
+        if any(a != "" for a in r["ref_abstract"]["abstract"])
+    }
+    assert exploded <= all_idx
+
+
+def test_related_work_corpus():
+    df = synthetic_multi_x_science(10)
+    corpus = build_mips_corpus(df, "related_work")
+    assert len(corpus) == 10
+    assert not corpus["mips_column"].str.contains("@cite").any()
+
+
+def test_aggregate_by_aid():
+    df = synthetic_multi_x_science(20)
+    df2 = df.copy()
+    df2.loc[1, "aid"] = df2.loc[0, "aid"]  # force a duplicate aid
+    agg = aggregate_by_aid(df2)
+    assert agg["aid"].is_unique
+    assert len(agg) == 19
+
+
+def test_hash_tokenizer_roundtrip_properties():
+    tok = HashTokenizer(vocab_size=512)
+    out = tok(["hello world", "hello"], max_length=8)
+    assert out["input_ids"].shape == (2, 8)
+    # deterministic
+    out2 = tok(["hello world", "hello"], max_length=8)
+    assert np.array_equal(out["input_ids"], out2["input_ids"])
+    # same word → same id across positions
+    a = tok(["foo foo"], max_length=8)["input_ids"][0]
+    assert a[1] == a[2]
+    assert a[0] == tok.bos_id
+
+
+def test_rag_datamodule_end_to_end():
+    df = synthetic_multi_x_science(32)
+    tok = HashTokenizer(512)
+    dm = RAGDataModule(
+        df, tok, tok, max_length=128, query_max_length=64,
+        decoder_max_length=32, memory_len=64,
+    ).prepare()
+    assert dm.corpus_size > 0
+    b = next(dm.batches(4))
+    assert b["input_ids"].shape == (4, 128)
+    assert b["labels"].shape == (4, 32)
+    assert b["mips_ignore"].shape[0] == 4
+    assert b["gold_aid"].shape == (4,)
+    # doc_sep token present in joined inputs (multi-ref examples)
+    assert (b["input_ids"] == tok.doc_sep_id).sum() >= 0
+    # self-exclusion lists point at real corpus rows
+    ig = b["mips_ignore"]
+    assert ig.max() < dm.corpus_size
+
+
+def test_pretrain_pairs():
+    df = synthetic_multi_x_science(16)
+    tok = HashTokenizer(512)
+    pairs = prepare_pretrain_pairs(df, tok, tok, mode="abstract",
+                                   query_max_length=32, mips_max_length=32)
+    assert pairs["query_input_ids"].shape == pairs["mips_input_ids"].shape
+    pairs2 = prepare_pretrain_pairs(df, tok, tok, mode="related",
+                                    query_max_length=32, mips_max_length=32)
+    assert pairs2["query_input_ids"].shape[0] == 16
+
+
+def test_aid_counts():
+    df = synthetic_multi_x_science(10)
+    df.loc[1, "aid"] = df.loc[0, "aid"]
+    out = add_aid_counts(df)
+    assert out.loc[0, "aid_counts"] == 2
+    assert out.loc[2, "aid_counts"] == 1

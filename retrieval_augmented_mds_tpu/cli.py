@@ -1,0 +1,404 @@
+"""Command-line entry points.
+
+Covers the reference's CLI surface (SURVEY.md L7): `main.py
+{fit,validate,test,predict}` via LightningCLI, `python -m sotasum.pretrain
+--mode {train,test,predict}`, plus the index tooling BASELINE.json asks
+for:
+
+    python -m retrieval_augmented_mds_tpu.cli fit        --config <yaml>
+    python -m retrieval_augmented_mds_tpu.cli validate   --config <yaml>
+    python -m retrieval_augmented_mds_tpu.cli test       --config <yaml>
+    python -m retrieval_augmented_mds_tpu.cli predict    --config <yaml>
+    python -m retrieval_augmented_mds_tpu.cli pretrain-retriever --config <yaml>
+    python -m retrieval_augmented_mds_tpu.cli build-index --config <yaml> --out <dir>
+    python -m retrieval_augmented_mds_tpu.cli bench-index --config <yaml>
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def build_mesh(cfg):
+    import jax
+
+    from .parallel import MeshSpec, best_mesh
+
+    n = len(jax.devices())
+    if cfg.mesh.data and cfg.mesh.shard:
+        return MeshSpec(cfg.mesh.data, cfg.mesh.shard).build()
+    if n == 1:
+        return None
+    return best_mesh(n)
+
+
+def build_data(cfg):
+    from .data import RAGDataModule, load_tokenizer, synthetic_multi_x_science
+
+    d = cfg.data
+    if d.source == "synthetic":
+        df = synthetic_multi_x_science(d.n_synthetic)
+    else:
+        from .data.corpus import load_multi_x_science
+
+        hf = load_multi_x_science(
+            d.source if d.source != "multi_x_science" else "multi_x_science_sum"
+        )
+        import pandas as pd
+
+        df = pd.concat(
+            [v.to_pandas() for v in hf.values()], ignore_index=True
+        )
+    if d.dataset_mode == "aggregated":
+        from .data.corpus import aggregate_by_aid
+
+        df = aggregate_by_aid(df)
+    tok = load_tokenizer(d.tokenizer, vocab_size=cfg.model.led.vocab_size,
+                         doc_sep=d.doc_sep)
+    qtok = load_tokenizer(d.tokenizer, vocab_size=cfg.model.query_enc.vocab_size,
+                          doc_sep=d.doc_sep)
+    dm = RAGDataModule(
+        df, tok, qtok,
+        corpus_column=d.corpus_column,
+        max_length=d.max_length,
+        query_max_length=d.query_max_length,
+        decoder_max_length=d.decoder_max_length,
+        memory_len=d.memory_len,
+        source_memory=d.source_memory,
+        doc_sep=d.doc_sep,
+    ).prepare()
+    if d.mips_db_max_size:
+        # corpus truncation (reference mips_db_max_size, mips.py:184-185)
+        for k in dm.store_arrays:
+            dm.store_arrays[k] = dm.store_arrays[k][: d.mips_db_max_size]
+    return dm, tok
+
+
+def build_store(params, cfg, dm, mesh=None):
+    """Initial index build: embed the tokenized corpus under the current
+    mips encoder, then construct the configured index."""
+    import jax.numpy as jnp
+
+    from .index import build_index_from_factory
+    from .models.retriever_generator import MemoryStore
+    from .train.trainer import encode_corpus
+
+    jnp_dtype = jnp.bfloat16 if cfg.index.dtype == "bfloat16" else jnp.float32
+    ids = jnp.asarray(dm.store_arrays["token_ids"])
+    mask = jnp.asarray(dm.store_arrays["token_mask"])
+    emb = encode_corpus(
+        params["mips_encoder"], cfg.model.mips_enc, ids, mask,
+        batch_size=min(64, ids.shape[0]),
+    )
+    index = build_index_from_factory(
+        emb, cfg.index.factory, metric=cfg.index.metric,
+        normalize=cfg.index.normalize, dtype=jnp_dtype, mesh=mesh,
+        train_size=cfg.index.train_size, seed=cfg.seed,
+    )
+    aids = dm.store_arrays.get("row_aids")
+    return MemoryStore(
+        index=index, token_ids=ids, token_mask=mask,
+        row_aids=jnp.asarray(aids) if aids is not None else None,
+    )
+
+
+def _device_batch(batch, cfg):
+    import jax.numpy as jnp
+
+    from .models.led import shift_tokens_right
+
+    out = {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k in (
+            "input_ids", "attention_mask", "query_input_ids",
+            "query_attention_mask", "labels", "mips_ignore",
+        )
+    }
+    out["decoder_input_ids"] = shift_tokens_right(
+        out["labels"], cfg.model.led.pad_id, cfg.generation.decoder_start_id
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+def run_fit(cfg) -> dict[str, Any]:
+    import jax
+
+    from .models.retriever_generator import init_rag
+    from .obs import MetricsLogger, TeamsNotifier
+    from .train.optimizer import build_optimizer
+    from .train.trainer import (
+        TrainState,
+        make_train_step,
+        refresh_store,
+    )
+    from .utils.checkpoint import save_train_state
+    from .utils.config import save_config
+
+    mesh = build_mesh(cfg)
+    dm, tok = build_data(cfg)
+    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    store = (
+        None if cfg.model.mips_disabled else build_store(params, cfg, dm, mesh)
+    )
+
+    tx = build_optimizer(
+        cfg.train.lr, cfg.train.warmup_steps, cfg.train.total_steps,
+        weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
+        frozen_groups=cfg.train.frozen_groups, params=params,
+    )
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(cfg.model, tx, cfg.train, mesh=mesh)
+
+    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name)
+    log.log_hyperparams(dataclasses.asdict(cfg))
+    save_config(cfg, os.path.join(cfg.logging.log_dir, "config_resolved.yaml"))
+    teams = TeamsNotifier(cfg.logging.teams_webhook, cfg.logging.run_name)
+    teams.on_fit_start()
+
+    rng = np.random.default_rng(cfg.seed)
+    step = 0
+    metrics = {}
+    try:
+        while step < cfg.max_steps:
+            for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + step):
+                if step >= cfg.max_steps:
+                    break
+                if (
+                    store is not None
+                    and cfg.index.rebuild_every > 0
+                    and step > 0
+                    and step % cfg.index.rebuild_every == 0
+                ):
+                    # double-buffered refresh (SURVEY.md §3.2 equivalent)
+                    store = refresh_store(
+                        state.params, cfg.model, store, mesh=mesh
+                    )
+                dbatch = _device_batch(batch, cfg)
+                force = (
+                    rng.random() < cfg.model.copy_forcing
+                    if cfg.model.memory_forcing == "target_in"
+                    else None
+                )
+                state, metrics = step_fn(
+                    state, store, dbatch,
+                    None if force is None else bool(force),
+                )
+                log.log(step, metrics)
+                step += 1
+                if cfg.eval_every and step % cfg.eval_every == 0:
+                    ev = run_eval_loop(cfg, state.params, store, dm, tok)
+                    log.log(step, ev, prefix="val_")
+        if cfg.ckpt_dir:
+            save_train_state(cfg.ckpt_dir, state, step)
+    except BaseException as e:  # noqa: BLE001
+        teams.on_exception(e)
+        raise
+    out = {k: float(v) for k, v in metrics.items()}
+    out["steps"] = step
+    return out
+
+
+def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2):
+    """Generate + ROUGE (reference validation path,
+    sotasum/lightning_model.py:327-398)."""
+    from .eval import RougeAccumulator
+    from .models.generate import generate
+    from .models.retriever_generator import rag_encode
+
+    acc = RougeAccumulator()
+    for bi, batch in enumerate(dm.batches(cfg.data.batch_size, shuffle=False)):
+        if bi >= max_batches:
+            break
+        dbatch = _device_batch(batch, cfg)
+        enc = rag_encode(params, cfg.model, store, dbatch)
+        ids = generate(params, cfg.model, enc, cfg.generation)
+        preds = tok.batch_decode(np.asarray(ids))
+        refs = tok.batch_decode(np.asarray(batch["labels"]))
+        acc.add_batch(preds, refs)
+    return acc.compute()
+
+
+def run_validate(cfg):
+    import jax
+
+    from .models.retriever_generator import init_rag
+    from .utils.checkpoint import load_train_state
+
+    dm, tok = build_data(cfg)
+    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    if cfg.ckpt_dir and os.path.exists(
+        os.path.join(cfg.ckpt_dir, "latest.json")
+    ):
+        from .train.optimizer import build_optimizer
+        from .train.trainer import TrainState
+
+        tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
+                             cfg.train.total_steps)
+        like = TrainState.create(params, tx)
+        state, _ = load_train_state(cfg.ckpt_dir, like)
+        params = state.params
+    store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
+    return run_eval_loop(cfg, params, store, dm, tok)
+
+
+def run_predict(cfg):
+    import jax
+
+    from .models.generate import generate
+    from .models.retriever_generator import init_rag, rag_encode
+
+    dm, tok = build_data(cfg)
+    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
+    batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
+    dbatch = _device_batch(batch, cfg)
+    enc = rag_encode(params, cfg.model, store, dbatch)
+    ids = generate(params, cfg.model, enc, cfg.generation)
+    return {"predictions": tok.batch_decode(np.asarray(ids))}
+
+
+def run_pretrain_retriever(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from .data import load_tokenizer, prepare_pretrain_pairs, synthetic_multi_x_science
+    from .obs import MetricsLogger
+    from .retriever.contrastive import RetrieverConfig, init_retriever
+    from .train.optimizer import build_optimizer
+    from .train.trainer import TrainState, make_retriever_train_step
+    from .utils.checkpoint import export_encoders
+
+    rcfg = RetrieverConfig(
+        query_enc=cfg.model.query_enc, mips_enc=cfg.model.mips_enc
+    )
+    params = init_retriever(jax.random.PRNGKey(cfg.seed), rcfg)
+    tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
+                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
+    state = TrainState.create(params, tx)
+    step_fn = make_retriever_train_step(rcfg, tx)
+
+    if cfg.data.source == "synthetic":
+        df = synthetic_multi_x_science(cfg.data.n_synthetic)
+    else:
+        dm, _ = build_data(cfg)
+        df = dm.df
+    tok = load_tokenizer(cfg.data.tokenizer,
+                         vocab_size=cfg.model.query_enc.vocab_size)
+    pairs = prepare_pretrain_pairs(
+        df, tok, tok, query_max_length=cfg.data.query_max_length,
+        mips_max_length=cfg.data.memory_len,
+    )
+    n = len(pairs["query_input_ids"])
+    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever")
+    metrics = {}
+    for step in range(cfg.max_steps):
+        sel = np.random.default_rng(step).choice(
+            n, size=min(cfg.data.batch_size, n), replace=False
+        )
+        batch = {k: jnp.asarray(v[sel]) for k, v in pairs.items()}
+        state, metrics = step_fn(state, batch)
+        log.log(step, metrics)
+    if cfg.ckpt_dir:
+        export_encoders(
+            os.path.join(cfg.ckpt_dir, "encoders.npz"), state.params
+        )
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def run_build_index(cfg, out_dir: str):
+    import jax
+
+    from .index.flat import save_flat_index
+    from .models.retriever_generator import init_rag
+
+    dm, _ = build_data(cfg)
+    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    store = build_store(params, cfg, dm)
+    from .index.flat import FlatIndex
+
+    if isinstance(store.index, FlatIndex):
+        save_flat_index(store.index, out_dir)
+    else:
+        raise NotImplementedError("IVF persistence: save the flat payload")
+    np.savez(
+        os.path.join(out_dir, "corpus_tokens.npz"),
+        token_ids=np.asarray(store.token_ids),
+        token_mask=np.asarray(store.token_mask),
+    )
+    return {"n": store.index.n, "out": out_dir}
+
+
+def run_bench_index(cfg):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        capture_output=True, text=True,
+    )
+    print(r.stdout.strip())
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="retrieval_augmented_mds_tpu")
+    p.add_argument(
+        "command",
+        choices=[
+            "fit", "validate", "test", "predict", "pretrain-retriever",
+            "build-index", "bench-index",
+        ],
+    )
+    p.add_argument("--config", default=None)
+    p.add_argument("--out", default="./index_out")
+    args = p.parse_args(argv)
+
+    from .utils.config import ExperimentConfig, load_config
+    from .models.retriever_generator import RAGConfig
+
+    cfg = (
+        load_config(args.config)
+        if args.config
+        else ExperimentConfig(model=RAGConfig.tiny())
+    )
+
+    if args.command == "fit":
+        out = run_fit(cfg)
+    elif args.command in ("validate", "test"):
+        out = run_validate(cfg)
+    elif args.command == "predict":
+        out = run_predict(cfg)
+    elif args.command == "pretrain-retriever":
+        out = run_pretrain_retriever(cfg)
+    elif args.command == "build-index":
+        out = run_build_index(cfg, args.out)
+    else:
+        out = run_bench_index(cfg)
+    print(json.dumps(out, default=str)[:2000])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

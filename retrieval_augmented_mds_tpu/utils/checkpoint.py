@@ -1,0 +1,87 @@
+"""Checkpointing: train state, params, and encoder export/import.
+
+Mirrors the reference's checkpoint surface (SURVEY.md §5.4): Lightning
+ModelCheckpoint → `save_train_state`/`load_train_state`; retriever encoder
+export via `save_pretrained` + raw state_dict re-injection
+(sotasum/pretrain.py:671-681, ModelConfig.mips_state_dict/query_state_dict
+loads at sotasum/mips.py:115-117, retriever_generator.py:95-97) →
+`export_encoders`/`import_encoders` operating on param subtrees.
+
+Format: npz of flattened pytree leaves + the key paths — dependency-free,
+mesh-agnostic (arrays are fetched to host; reloading re-places them with
+whatever shardings the fresh state uses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(tree)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Restore into the structure of ``like`` (shapes must match)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    flat_keys = list(_flatten(like).keys())
+    assert len(flat_keys) == len(leaves_like)
+    leaves = []
+    for key, leaf in zip(flat_keys, leaves_like):
+        arr = data[key]
+        assert arr.shape == tuple(leaf.shape), (key, arr.shape, leaf.shape)
+        leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_train_state(ckpt_dir: str, state, step: int, keep: int = 1) -> str:
+    """Write ``ckpt_dir/step_<N>.npz`` (+ meta); prune old checkpoints
+    (reference save_top_k=1, no_mips.yaml:27-33)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step}.npz")
+    save_pytree(path, state)
+    with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
+        json.dump({"step": step, "path": path}, f)
+    existing = sorted(
+        (p for p in os.listdir(ckpt_dir) if p.startswith("step_")),
+        key=lambda p: int(p.split("_")[1].split(".")[0]),
+    )
+    for old in existing[:-keep]:
+        os.remove(os.path.join(ckpt_dir, old))
+    return path
+
+
+def load_train_state(ckpt_dir: str, like) -> tuple[Any, int]:
+    with open(os.path.join(ckpt_dir, "latest.json")) as f:
+        meta = json.load(f)
+    return load_pytree(meta["path"], like), meta["step"]
+
+
+def export_encoders(path: str, params: dict, groups=("query_encoder", "mips_encoder")):
+    """Export trained retriever encoders for later injection into the
+    summarizer (the reference's save_pretrained round trip)."""
+    save_pytree(path, {g: params[g] for g in groups})
+
+
+def import_encoders(path: str, params: dict, groups=("query_encoder", "mips_encoder")):
+    sub = {g: params[g] for g in groups}
+    loaded = load_pytree(path, sub)
+    out = dict(params)
+    out.update(loaded)
+    return out

@@ -1,0 +1,60 @@
+"""CLI end-to-end smoke: fit/validate/predict/pretrain on synthetic data."""
+
+import json
+import os
+
+import pytest
+
+from retrieval_augmented_mds_tpu.cli import (
+    run_fit,
+    run_predict,
+    run_pretrain_retriever,
+)
+from retrieval_augmented_mds_tpu.utils.config import load_config
+
+CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "smoke.yaml")
+NO_MIPS = os.path.join(os.path.dirname(__file__), "..", "configs", "no_mips.yaml")
+
+
+def _cfg(path, tmp_path, **over):
+    import dataclasses
+
+    cfg = load_config(path)
+    log = dataclasses.replace(cfg.logging, log_dir=str(tmp_path))
+    return dataclasses.replace(cfg, logging=log, **over)
+
+
+@pytest.mark.slow
+def test_fit_smoke(tmp_path):
+    cfg = _cfg(CFG, tmp_path, max_steps=4, eval_every=4,
+               ckpt_dir=str(tmp_path / "ckpt"))
+    out = run_fit(cfg)
+    assert out["steps"] == 4
+    assert "loss" in out
+    # metrics jsonl written
+    lines = open(tmp_path / "smoke.metrics.jsonl").read().strip().splitlines()
+    assert len(lines) >= 4
+    assert "loss" in json.loads(lines[0])
+    # checkpoint written
+    assert os.path.exists(tmp_path / "ckpt" / "latest.json")
+
+
+def test_fit_no_mips(tmp_path):
+    cfg = _cfg(NO_MIPS, tmp_path, max_steps=2, eval_every=0)
+    out = run_fit(cfg)
+    assert out["steps"] == 2
+
+
+@pytest.mark.slow
+def test_predict_smoke(tmp_path):
+    cfg = _cfg(CFG, tmp_path, max_steps=1)
+    out = run_predict(cfg)
+    assert len(out["predictions"]) == cfg.data.batch_size
+    assert all(isinstance(s, str) for s in out["predictions"])
+
+
+def test_pretrain_retriever_smoke(tmp_path):
+    cfg = _cfg(CFG, tmp_path, max_steps=2, ckpt_dir=str(tmp_path / "ck"))
+    out = run_pretrain_retriever(cfg)
+    assert "train_accuracy" in out
+    assert os.path.exists(tmp_path / "ck" / "encoders.npz")

@@ -75,6 +75,9 @@ def longformer_encode(
     x = embed(params["tok_emb"], ids, dtype) + embed(
         params["pos_emb"], pos, dtype
     )
+    if "type_emb" in params:
+        # single token-type row (RoBERTa-family constant; hf_import)
+        x = x + params["type_emb"]["table"][0].astype(x.dtype)
     x = layernorm(params["emb_ln"], x)
 
     def layer_fn(x, lp):

@@ -112,12 +112,14 @@ def sliding_global_attention(
     band = jnp.where(band_ok & key_ok_w[:, :, :, None, :], band, NEG_INF)
 
     # ----- global-key columns (all queries attend global tokens) ---------
+    # HF semantics: these columns use the REGULAR k/v of the global tokens
+    # (LongformerSelfAttention._concat_with_global_key_attn_probs passes
+    # the plain key/value vectors); the *_global projections only serve
+    # the global-token rows below.
     g_idx, g_valid = _gather_globals(global_mask, max_globals)  # [B, G]
-    kg_full = _split_heads(dense(p["kg"], x), n_heads)
-    vg_full = _split_heads(dense(p["vg"], x), n_heads)
     take = jax.vmap(lambda arr, idx: arr[:, idx], in_axes=(0, 0))
-    kg = take(kg_full, g_idx)  # [B, nh, G, dh]
-    vg = take(vg_full, g_idx)
+    kg = take(k, g_idx)  # [B, nh, G, dh]
+    vg = take(v, g_idx)
     glog = jnp.einsum(
         "bhqd,bhgd->bhqg", q, kg, preferred_element_type=jnp.float32
     ) * scale  # [B, nh, T, G]
@@ -132,6 +134,10 @@ def sliding_global_attention(
     out = out + jnp.einsum("bhqg,bhgd->bhqd", pg.reshape(b, n_heads, t, -1), vg)
 
     # ----- global queries attend the full sequence ------------------------
+    # (query_global on global rows vs key_global/value_global on ALL
+    # tokens — HF _compute_global_attn_output_from_hidden)
+    kg_full = _split_heads(dense(p["kg"], x), n_heads)
+    vg_full = _split_heads(dense(p["vg"], x), n_heads)
     qg_full = _split_heads(dense(p["qg"], x), n_heads)
     qg = take(qg_full, g_idx)  # [B, nh, G, dh]
     full_log = jnp.einsum(

@@ -32,8 +32,10 @@ def _dense_reference(p, x, n_heads, window, global_mask, padding_mask):
     q = _split_heads(dense(p["q"], x), n_heads)
     k = _split_heads(dense(p["k"], x), n_heads)
     v = _split_heads(dense(p["v"], x), n_heads)
-    kg = _split_heads(dense(p["kg"], x), n_heads)
-    vg = _split_heads(dense(p["vg"], x), n_heads)
+    kg = k  # HF: global columns for local rows use the regular k/v
+    vg = v
+    kg_full = _split_heads(dense(p["kg"], x), n_heads)
+    vg_full = _split_heads(dense(p["vg"], x), n_heads)
     qg = _split_heads(dense(p["qg"], x), n_heads)
 
     pos = np.arange(t)
@@ -63,11 +65,11 @@ def _dense_reference(p, x, n_heads, window, global_mask, padding_mask):
             o = w[:, :t] @ np.asarray(v[bi, hi]) + w[:, t:] @ np.asarray(
                 vg[bi, hi]
             )
-            # global rows overwrite
-            gl = np.asarray(qg[bi, hi] @ kg[bi, hi].T) * scale
+            # global rows overwrite (query_global vs key/value_global)
+            gl = np.asarray(qg[bi, hi] @ kg_full[bi, hi].T) * scale
             gl = np.where(pm[bi][None, :], gl, NEG_INF)
             wg = np.asarray(jax.nn.softmax(jnp.asarray(gl), axis=-1))
-            og = wg @ np.asarray(vg[bi, hi])
+            og = wg @ np.asarray(vg_full[bi, hi])
             o[gm[bi] & pm[bi]] = og[gm[bi] & pm[bi]]
             o[~pm[bi]] = 0.0
             out[bi, hi] = o

@@ -211,6 +211,154 @@ def mips_topk(
     return vals[:b, :k], idx[:b, :k]
 
 
+def _chunkmax_kernel(
+    q_ref,  # [TB, D]
+    e_ref,  # [TN, D]
+    bias_ref,  # [1, TN]
+    ign_ref,  # [TB, IGN]
+    scores_ref,  # out [TB, TN] f32
+    cmax_ref,  # out [TB, TN // _CHUNK] f32
+    *,
+    tile_n: int,
+    n_valid: int,
+    n_ignore: int,
+):
+    j = pl.program_id(1)
+    tb = q_ref.shape[0]
+    scores = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores + bias_ref[0, :][None, :]
+    base = j * tile_n
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, tile_n), 1) + base
+    scores = jnp.where(cols < n_valid, scores, NEG_INF)
+    for t in range(n_ignore):
+        scores = jnp.where(cols == ign_ref[:, t][:, None], NEG_INF, scores)
+    scores_ref[:] = scores
+    nc = tile_n // _CHUNK
+    cmax = jnp.stack(
+        [
+            jnp.max(scores[:, c * _CHUNK : (c + 1) * _CHUNK], axis=-1)
+            for c in range(nc)
+        ]
+        + [jnp.full((tb,), NEG_INF, jnp.float32)] * (_CHUNK - nc),
+        axis=-1,
+    )  # [TB, 128] (one aligned lane-block per tile; lanes >= nc are pad)
+    cmax_ref[:] = cmax
+
+
+_CHUNK = 128
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_b", "tile_n", "interpret")
+)
+def mips_topk_blocked(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int = 10,
+    row_bias: jax.Array | None = None,
+    ignore: jax.Array | None = None,
+    *,
+    tile_b: int = 256,
+    tile_n: int = 2048,
+    interpret: bool | None = None,
+):
+    """Exact top-k via the blocked two-phase algorithm.
+
+    Phase 1 (Pallas): scores → HBM + per-128-chunk maxima (no on-chip
+    k-select — pure MXU + one VPU reduction pass per tile).
+    Phase 2 (XLA): top-k over the tiny [B, N/128] chunk-max matrix; at
+    most k chunks can contain top-k elements (if m chunk maxima ≥ the
+    k-th element value, there are ≥ m elements ≥ it), so gathering those
+    k score chunks and re-selecting is EXACT.
+
+    Status: measured SLOWER than the fused kernel on v5e (7.5 vs 1.1 ms
+    at B=256, N=131k) — XLA's per-row take_along_axis gather in phase 2
+    dominates. Kept as the seed of a scalar-prefetch DMA phase-3 kernel;
+    the fused kernel is the production default.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d = queries.shape
+    n, _ = corpus.shape
+    assert 1 <= k
+
+    d_pad = _round_up(d, 128)
+    tile_n = min(tile_n, _round_up(n, 512))
+    n_pad = _round_up(n, tile_n)
+    tile_b = min(tile_b, _round_up(b, 8))
+    b_pad = _round_up(b, tile_b)
+
+    qp = jnp.zeros((b_pad, d_pad), corpus.dtype)
+    qp = qp.at[:b, :d].set(queries.astype(corpus.dtype))
+    ep = corpus
+    if ep.shape != (n_pad, d_pad):
+        ep = jnp.zeros((n_pad, d_pad), corpus.dtype).at[:n, :d].set(corpus)
+    if row_bias is None:
+        biasp = jnp.zeros((1, n_pad), jnp.float32)
+    else:
+        biasp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+            row_bias.astype(jnp.float32)
+        )
+    if ignore is None:
+        ign_w = 8
+        ignp = jnp.full((b_pad, ign_w), -1, jnp.int32)
+    else:
+        ign_w = _round_up(ignore.shape[1], 8)
+        ignp = jnp.full((b_pad, ign_w), -1, jnp.int32)
+        ignp = ignp.at[:b, : ignore.shape[1]].set(ignore.astype(jnp.int32))
+
+    grid = (b_pad // tile_b, n_pad // tile_n)
+    kernel = functools.partial(
+        _chunkmax_kernel, tile_n=tile_n, n_valid=n, n_ignore=ign_w
+    )
+    scores, cmax = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((tile_b, ign_w), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j)),
+            pl.BlockSpec((tile_b, _CHUNK), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b_pad, (n_pad // tile_n) * _CHUNK), jnp.float32
+            ),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=int(
+                b_pad * d_pad * 2 + n_pad * d_pad * 2 + b_pad * n_pad * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qp, ep, biasp, ignp)
+
+    # un-pad the per-tile chunk-max blocks → [B, n_chunks]
+    nc = tile_n // _CHUNK
+    n_tiles = n_pad // tile_n
+    cmax = cmax[:b].reshape(b, n_tiles, _CHUNK)[:, :, :nc].reshape(b, -1)
+    kc = min(k, cmax.shape[1])
+    _, top_chunks = jax.lax.top_k(cmax, kc)  # [B, kc]
+    col = top_chunks[:, :, None] * _CHUNK + jnp.arange(_CHUNK)[None, None, :]
+    col = col.reshape(b, kc * _CHUNK)
+    sel = jnp.take_along_axis(scores[:b], col, axis=1)  # [B, kc*128]
+    vals, pos = jax.lax.top_k(sel, k)
+    idx = jnp.take_along_axis(col, pos, axis=1).astype(jnp.int32)
+    idx = jnp.where(vals <= NEG_INF / 2, -1, idx)
+    return vals, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def mips_topk_xla(
     queries: jax.Array,

@@ -93,3 +93,20 @@ def test_unaligned_shapes():
     ref_vals, ref_idx = _brute(q, e, k)
     vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), k)
     assert np.array_equal(np.sort(np.asarray(idx), -1), np.sort(ref_idx, -1))
+
+
+def test_blocked_matches_fused():
+    from retrieval_augmented_mds_tpu.ops.mips_topk import mips_topk_blocked
+
+    rng = np.random.default_rng(7)
+    n, d, b, k = 4096, 64, 8, 10
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32)
+    ignore = rng.integers(0, n, size=(b, 2)).astype(np.int32)
+    v1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(e), k,
+                       jnp.asarray(bias), jnp.asarray(ignore))
+    v2, i2 = mips_topk_blocked(jnp.asarray(q), jnp.asarray(e), k,
+                               jnp.asarray(bias), jnp.asarray(ignore))
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)

@@ -90,48 +90,23 @@ def sliding_global_attention(
     k = _split_heads(dense(p["k"], x), n_heads)
     v = _split_heads(dense(p["v"], x), n_heads)
 
-    # ----- banded local branch -------------------------------------------
-    qb = q.reshape(b, n_heads, nb, w, dh)
-    kw = _window_kv(k, nb, w)  # [B, nh, nb, 3w, dh]
-    vw = _window_kv(v, nb, w)
-    band = jnp.einsum(
-        "bhnqd,bhnkd->bhnqk", qb, kw, preferred_element_type=jnp.float32
-    ) * scale  # [B, nh, nb, w, 3w]
+    # ----- local-query rows: band ∪ global-key columns, one softmax ------
+    # Dispatched through ops/flash_sliding.sliding_local_rows: a Pallas
+    # flash-style kernel on TPU (no [B, nh, nb, w, 3w] HBM logits), the
+    # XLA banded composite elsewhere; backward recomputes via XLA.
+    # HF semantics: global-key columns use the REGULAR k/v of the global
+    # tokens; global tokens are masked out of the band (no double count);
+    # *_global projections only serve the global-token rows below.
+    from .flash_sliding import sliding_local_rows
 
-    delta = (
-        jnp.arange(3 * w)[None, :] - w - jnp.arange(w)[:, None]
-    )  # key pos − query pos
-    band_ok = (jnp.abs(delta) <= w)[None, None, None]  # static band mask
-
-    # key validity: padded/zero blocks, padding tokens, and global tokens
-    # (global keys are served by the global branch to avoid double counting)
-    key_ok = (padding_mask > 0) & (global_mask == 0)  # [B, T]
-    key_ok_w = _window_kv(
-        key_ok[:, None, :, None].astype(jnp.float32), nb, w
-    )[..., 0] > 0  # [B, 1, nb, 3w]
-    band = jnp.where(band_ok & key_ok_w[:, :, :, None, :], band, NEG_INF)
-
-    # ----- global-key columns (all queries attend global tokens) ---------
-    # HF semantics: these columns use the REGULAR k/v of the global tokens
-    # (LongformerSelfAttention._concat_with_global_key_attn_probs passes
-    # the plain key/value vectors); the *_global projections only serve
-    # the global-token rows below.
     g_idx, g_valid = _gather_globals(global_mask, max_globals)  # [B, G]
     take = jax.vmap(lambda arr, idx: arr[:, idx], in_axes=(0, 0))
     kg = take(k, g_idx)  # [B, nh, G, dh]
     vg = take(v, g_idx)
-    glog = jnp.einsum(
-        "bhqd,bhgd->bhqg", q, kg, preferred_element_type=jnp.float32
-    ) * scale  # [B, nh, T, G]
-    glog = jnp.where(g_valid[:, None, None, :], glog, NEG_INF)
-    glog_b = glog.reshape(b, n_heads, nb, w, -1)
-
-    # ----- one softmax over [3w band + G global] columns ------------------
-    logits = jnp.concatenate([band, glog_b], axis=-1)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    pb, pg = probs[..., : 3 * w], probs[..., 3 * w:]
-    out = jnp.einsum("bhnqk,bhnkd->bhnqd", pb, vw).reshape(b, n_heads, t, dh)
-    out = out + jnp.einsum("bhqg,bhgd->bhqd", pg.reshape(b, n_heads, t, -1), vg)
+    key_ok = (padding_mask > 0) & (global_mask == 0)  # [B, T]
+    key_bias = jnp.where(key_ok, 0.0, NEG_INF).astype(jnp.float32)
+    g_bias = jnp.where(g_valid, 0.0, NEG_INF).astype(jnp.float32)
+    out = sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, w)
 
     # ----- global queries attend the full sequence ------------------------
     # (query_global on global rows vs key_global/value_global on ALL

@@ -143,3 +143,56 @@ def test_led_decode_cache_parity():
     np.testing.assert_allclose(
         np.asarray(full_logits), np.asarray(inc_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_kernel_matches_xla_composite():
+    """Pallas flash kernel (interpret mode) vs the XLA local-rows oracle."""
+    from retrieval_augmented_mds_tpu.ops.flash_sliding import (
+        _local_rows_xla,
+        flash_sliding_attention,
+    )
+
+    key = jax.random.PRNGKey(3)
+    b, nh, t, dh, w, g = 2, 2, 192, 32, 64, 4
+    ks = jax.random.split(key, 7)
+    q = jax.random.normal(ks[0], (b, nh, t, dh))
+    k = jax.random.normal(ks[1], (b, nh, t, dh))
+    v = jax.random.normal(ks[2], (b, nh, t, dh))
+    kg = jax.random.normal(ks[3], (b, nh, g, dh))
+    vg = jax.random.normal(ks[4], (b, nh, g, dh))
+    key_bias = jnp.where(
+        jax.random.bernoulli(ks[5], 0.9, (b, t)), 0.0, -1e9
+    ).astype(jnp.float32)
+    g_bias = jnp.where(
+        jax.random.bernoulli(ks[6], 0.8, (b, g)), 0.0, -1e9
+    ).astype(jnp.float32)
+
+    ref = _local_rows_xla(q, k, v, key_bias, kg, vg, g_bias, w)
+    got = flash_sliding_attention(
+        q, k, v, key_bias, kg, vg, g_bias, window=w, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_kernel_gradients_flow():
+    from retrieval_augmented_mds_tpu.ops.flash_sliding import sliding_local_rows
+
+    key = jax.random.PRNGKey(4)
+    b, nh, t, dh, w, g = 1, 2, 128, 16, 64, 2
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (b, nh, t, dh))
+    k = jax.random.normal(ks[1], (b, nh, t, dh))
+    v = jax.random.normal(ks[2], (b, nh, t, dh))
+    kg = jax.random.normal(ks[3], (b, nh, g, dh))
+    vg = jax.random.normal(ks[4], (b, nh, g, dh))
+    zb = jnp.zeros((b, t), jnp.float32)
+    gb = jnp.zeros((b, g), jnp.float32)
+
+    def f(q):
+        return jnp.sum(sliding_local_rows(q, k, v, zb, kg, vg, gb, w) ** 2)
+
+    grad = jax.grad(f)(q)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).sum()) > 0

@@ -49,8 +49,9 @@ class FlatIndex:
     values and a pointer swap in the train loop.
     """
 
-    embeddings: jax.Array  # [N_pad, D_pad] (bf16 by default)
+    embeddings: jax.Array  # [N_pad, D_pad] (bf16; int8 for SQ8 payloads)
     row_bias: jax.Array  # [N_pad] f32
+    row_scale: jax.Array | None  # [N_pad] f32 dequant scales (SQ8 only)
     n: int = dataclasses.field(metadata=dict(static=True))
     metric: str = dataclasses.field(metadata=dict(static=True))
     normalized: bool = dataclasses.field(metadata=dict(static=True))
@@ -80,10 +81,11 @@ def build_flat_index(
     """
     if metric not in ("ip", "l2"):
         raise ValueError(f"metric must be 'ip' or 'l2', got {metric!r}")
+    sq8 = dtype in ("int8", jnp.int8)
     n, d = embeddings.shape
     shards = mesh.shape[SHARD_AXIS] if mesh is not None else 1
     n_pad = _round_up(n, shards * row_align)
-    d_pad = _round_up(d, 128)
+    d_pad = _round_up(d, 256 if sq8 else 128)
 
     x = jnp.asarray(embeddings, dtype=jnp.float32)
     if normalize:
@@ -97,17 +99,29 @@ def build_flat_index(
 
     from ..ops.mips_topk import NEG_INF
 
-    emb = jnp.zeros((n_pad, d_pad), dtype)
-    emb = emb.at[:n, :d].set(x.astype(dtype))
+    row_scale = None
+    if sq8:
+        from ..ops.mips_topk import quantize_corpus_sq8
+
+        qvals, scales = quantize_corpus_sq8(x)
+        emb = jnp.zeros((n_pad, d_pad), jnp.int8).at[:n, :d].set(qvals)
+        row_scale = jnp.ones((n_pad,), jnp.float32).at[:n].set(scales)
+    else:
+        emb = jnp.zeros((n_pad, d_pad), dtype)
+        emb = emb.at[:n, :d].set(x.astype(dtype))
     row_bias = jnp.full((n_pad,), NEG_INF, jnp.float32).at[:n].set(bias)
 
     if mesh is not None:
         emb = jax.device_put(emb, NamedSharding(mesh, P(SHARD_AXIS, None)))
         row_bias = jax.device_put(row_bias, NamedSharding(mesh, P(SHARD_AXIS)))
+        if row_scale is not None:
+            row_scale = jax.device_put(
+                row_scale, NamedSharding(mesh, P(SHARD_AXIS))
+            )
 
     return FlatIndex(
-        embeddings=emb, row_bias=row_bias, n=n, metric=metric,
-        normalized=normalize,
+        embeddings=emb, row_bias=row_bias, row_scale=row_scale, n=n,
+        metric=metric, normalized=normalize,
     )
 
 
@@ -121,7 +135,7 @@ def _merge_topk(vals_s, idx_s, k):
     return top_vals, top_idx
 
 
-def _local_search(q, emb, bias, ign, *, k, backend):
+def _local_search(q, emb, bias, scale, ign, *, k, backend):
     """Per-device search over the local shard; merges over the shard axis."""
     rows = emb.shape[0]
     try:
@@ -132,8 +146,11 @@ def _local_search(q, emb, bias, ign, *, k, backend):
     offset = shard_id * rows
 
     local_ign = ign - offset  # out-of-range never matches local cols
-    fn = mips_topk if backend == "pallas" else mips_topk_xla
-    vals, idx = fn(q, emb, k, bias, local_ign)
+    if backend == "pallas":
+        vals, idx = mips_topk(q, emb, k, bias, local_ign, scale)
+    else:
+        e = emb if scale is None else emb.astype(jnp.float32) * scale[:, None]
+        vals, idx = mips_topk_xla(q, e, k, bias, local_ign)
     idx = jnp.where(idx >= 0, idx + offset, -1)
     if n_shards == 1:
         return vals, idx
@@ -178,17 +195,19 @@ def search(
             q = jax.lax.with_sharding_constraint(
                 q, NamedSharding(mesh, P(DATA_AXIS, None))
             )
-        return fn(q, index.embeddings, index.row_bias, ign)
+        return fn(q, index.embeddings, index.row_bias, index.row_scale, ign)
 
     q_spec = P(DATA_AXIS, None) if data_sharded else P(None, None)
     out_b = P(DATA_AXIS, None) if data_sharded else P(None, None)
+    scale_spec = None if index.row_scale is None else P(SHARD_AXIS)
     return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(q_spec, P(SHARD_AXIS, None), P(SHARD_AXIS), q_spec),
+        in_specs=(q_spec, P(SHARD_AXIS, None), P(SHARD_AXIS), scale_spec,
+                  q_spec),
         out_specs=(out_b, out_b),
         check_vma=False,
-    )(q, index.embeddings, index.row_bias, ign)
+    )(q, index.embeddings, index.row_bias, index.row_scale, ign)
 
 
 # ---------------------------------------------------------------------------
@@ -202,9 +221,16 @@ def save_flat_index(index: FlatIndex, path: str) -> None:
     import os
 
     os.makedirs(path, exist_ok=True)
-    np.save(os.path.join(path, "embeddings.npy"),
-            np.asarray(index.embeddings.astype(jnp.float32)))
+    if index.embeddings.dtype == jnp.int8:
+        np.save(os.path.join(path, "embeddings.npy"),
+                np.asarray(index.embeddings))
+    else:
+        np.save(os.path.join(path, "embeddings.npy"),
+                np.asarray(index.embeddings.astype(jnp.float32)))
     np.save(os.path.join(path, "row_bias.npy"), np.asarray(index.row_bias))
+    if index.row_scale is not None:
+        np.save(os.path.join(path, "row_scale.npy"),
+                np.asarray(index.row_scale))
     meta: dict[str, Any] = {
         "n": index.n,
         "metric": index.metric,
@@ -223,13 +249,22 @@ def load_flat_index(path: str, *, mesh: Mesh | None = None) -> FlatIndex:
         meta = json.load(f)
     emb = np.load(os.path.join(path, "embeddings.npy"))
     bias = np.load(os.path.join(path, "row_bias.npy"))
-    dtype = jnp.bfloat16 if "bfloat16" in meta["dtype"] else jnp.float32
+    if "int8" in meta["dtype"]:
+        dtype = jnp.int8
+    elif "bfloat16" in meta["dtype"]:
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
     embj = jnp.asarray(emb, dtype)
     biasj = jnp.asarray(bias)
+    scale_path = os.path.join(path, "row_scale.npy")
+    scalej = jnp.asarray(np.load(scale_path)) if os.path.exists(scale_path) else None
     if mesh is not None:
         embj = jax.device_put(embj, NamedSharding(mesh, P(SHARD_AXIS, None)))
         biasj = jax.device_put(biasj, NamedSharding(mesh, P(SHARD_AXIS)))
+        if scalej is not None:
+            scalej = jax.device_put(scalej, NamedSharding(mesh, P(SHARD_AXIS)))
     return FlatIndex(
-        embeddings=embj, row_bias=biasj, n=meta["n"], metric=meta["metric"],
-        normalized=meta["normalized"],
+        embeddings=embj, row_bias=biasj, row_scale=scalej, n=meta["n"],
+        metric=meta["metric"], normalized=meta["normalized"],
     )

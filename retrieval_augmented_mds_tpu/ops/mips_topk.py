@@ -50,8 +50,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     q_ref,  # [TB, D]   queries (bf16 or f32)
-    e_ref,  # [TN, D]   corpus tile (bf16)
+    e_ref,  # [TN, D]   corpus tile (bf16 or int8 for SQ8 payloads)
     bias_ref,  # [1, TN] per-row score bias (f32)
+    scale_ref,  # [1, TN] per-row score scale (f32; 1.0 when unquantized)
     ign_ref,  # [TB, IGN] global ids to exclude per query (int32, -1 pad)
     out_vals_ref,  # [TB, _RUN] (f32)
     out_idx_ref,  # [TB, _RUN] (int32)
@@ -72,14 +73,19 @@ def _kernel(
         run_idx[:] = jnp.full(run_idx.shape, -1, jnp.int32)
 
     tb = q_ref.shape[0]
+    e = e_ref[:]
+    if e.dtype == jnp.int8:
+        # SQ8 payload: dequantize on the fly (scale applied to the score
+        # column below — scores_real[b,n] = (q·e_int8[n]) · s[n])
+        e = e.astype(jnp.bfloat16)
     # [TB, TN] scores on the MXU, f32 accumulation.
     scores = jax.lax.dot_general(
-        q_ref[:],
-        e_ref[:],
+        q_ref[:].astype(e.dtype),
+        e,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scores = scores + bias_ref[0, :][None, :]
+    scores = scores * scale_ref[0, :][None, :] + bias_ref[0, :][None, :]
 
     base = j * tile_n
     cols = jax.lax.broadcasted_iota(jnp.int32, (tb, tile_n), 1) + base
@@ -132,13 +138,18 @@ def mips_topk(
     k: int = 10,
     row_bias: jax.Array | None = None,  # [N] f32 (e.g. -||e||²/2 for L2)
     ignore: jax.Array | None = None,  # [B, I] int32 global ids, -1 = none
+    row_scale: jax.Array | None = None,  # [N] f32 (SQ8 dequant scales)
     *,
     tile_b: int = 256,
     tile_n: int = 2048,
     interpret: bool | None = None,
 ):
     """Exact top-k maximum-inner-product search. Returns (values f32 [B, k],
-    indices int32 [B, k]) sorted by descending score."""
+    indices int32 [B, k]) sorted by descending score.
+
+    An int8 ``corpus`` with per-row ``row_scale`` implements the FAISS SQ8
+    payload (sotasum/config.yaml:94): half the HBM footprint and corpus
+    bandwidth; scores are (q·e_int8)·scale."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, d = queries.shape
@@ -146,14 +157,17 @@ def mips_topk(
     assert d == d2, (queries.shape, corpus.shape)
     assert 1 <= k <= _RUN
 
-    d_pad = _round_up(d, 128)
+    is_int8 = corpus.dtype == jnp.int8
+    q_dtype = jnp.bfloat16 if is_int8 else corpus.dtype
+    d_align = 256 if is_int8 else 128  # int8 min tile is (32, 128)
+    d_pad = _round_up(d, d_align)
     tile_n = min(tile_n, _round_up(n, 512))
     n_pad = _round_up(n, tile_n)
-    tile_b = min(tile_b, _round_up(b, 8))
+    tile_b = min(tile_b, _round_up(b, 32 if is_int8 else 8))
     b_pad = _round_up(b, tile_b)
 
-    qp = jnp.zeros((b_pad, d_pad), corpus.dtype)
-    qp = qp.at[:b, :d].set(queries.astype(corpus.dtype))
+    qp = jnp.zeros((b_pad, d_pad), q_dtype)
+    qp = qp.at[:b, :d].set(queries.astype(q_dtype))
     ep = corpus
     if (n_pad, d_pad) != (n, d):
         ep = jnp.zeros((n_pad, d_pad), corpus.dtype).at[:n, :d].set(corpus)
@@ -163,6 +177,12 @@ def mips_topk(
     else:
         biasp = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
             row_bias.astype(jnp.float32)
+        )
+    if row_scale is None:
+        scalep = jnp.ones((1, n_pad), jnp.float32)
+    else:
+        scalep = jnp.ones((1, n_pad), jnp.float32).at[0, :n].set(
+            row_scale.astype(jnp.float32)
         )
 
     if ignore is None:
@@ -184,6 +204,7 @@ def mips_topk(
         in_specs=[
             pl.BlockSpec((tile_b, d_pad), lambda i, j: (i, 0)),
             pl.BlockSpec((tile_n, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
             pl.BlockSpec((tile_b, ign_w), lambda i, j: (i, 0)),
         ],
@@ -207,8 +228,20 @@ def mips_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qp, ep, biasp, ignp)
+    )(qp, ep, biasp, scalep, ignp)
     return vals[:b, :k], idx[:b, :k]
+
+
+def quantize_corpus_sq8(corpus: jax.Array):
+    """Per-row symmetric int8 quantization (FAISS SQ8 analog).
+
+    Returns (int8 values [N, D], scales [N] f32) with
+    corpus ≈ values · scales[:, None]."""
+    x = corpus.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _chunkmax_kernel(

@@ -110,3 +110,32 @@ def test_save_load_roundtrip(tmp_path):
     v2, i2 = search(idx2, jnp.asarray(q), k=5)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_sq8_int8_payload_high_recall():
+    """FAISS SQ8 analog: int8 corpus + per-row dequant scales."""
+    e, q = _data(n=4000, d=96, b=8, seed=8)
+    idx8 = build_flat_index(e, dtype="int8")
+    assert idx8.embeddings.dtype == jnp.int8 and idx8.row_scale is not None
+    _, ids8 = search(idx8, jnp.asarray(q), k=10)
+    ref = _brute_ip(q, e, 10)
+    hits = sum(
+        len(set(np.asarray(ids8)[i]) & set(ref[i])) for i in range(len(q))
+    )
+    assert hits / (len(q) * 10) >= 0.9  # 8-bit rounding flips only near-ties
+
+
+def test_sq8_sharded_and_roundtrip(tmp_path):
+    mesh = None
+    if len(jax.devices()) >= 8:
+        from retrieval_augmented_mds_tpu.parallel import MeshSpec
+
+        mesh = MeshSpec(1, 8).build()
+    e, q = _data(n=3000, d=64, b=4, seed=9)
+    idx8 = build_flat_index(e, dtype="int8", mesh=mesh, row_align=512)
+    v1, i1 = search(idx8, jnp.asarray(q), k=5, mesh=mesh)
+    save_flat_index(idx8, str(tmp_path / "sq8"))
+    idx2 = load_flat_index(str(tmp_path / "sq8"))
+    v2, i2 = search(idx2, jnp.asarray(q), k=5)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)

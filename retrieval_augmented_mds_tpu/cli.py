@@ -129,7 +129,8 @@ def _device_batch(batch, cfg):
         for k, v in batch.items()
         if k in (
             "input_ids", "attention_mask", "query_input_ids",
-            "query_attention_mask", "labels", "mips_ignore",
+            "query_attention_mask", "labels", "mips_ignore", "gold_aid",
+            "aid_counts",
         )
     }
     out["decoder_input_ids"] = shift_tokens_right(
@@ -163,10 +164,11 @@ def run_fit(cfg) -> dict[str, Any]:
         None if cfg.model.mips_disabled else build_store(params, cfg, dm, mesh)
     )
 
+    frozen = tuple(cfg.train.frozen_groups) + cfg.model.frozen_groups()
     tx = build_optimizer(
         cfg.train.lr, cfg.train.warmup_steps, cfg.train.total_steps,
         weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
-        frozen_groups=cfg.train.frozen_groups, params=params,
+        frozen_groups=frozen, params=params,
     )
     state = TrainState.create(params, tx)
     step_fn = make_train_step(cfg.model, tx, cfg.train, mesh=mesh)
@@ -266,7 +268,7 @@ def run_validate(cfg):
 def run_predict(cfg):
     import jax
 
-    from .models.generate import generate
+    from .models.generate import copy_trace, generate
     from .models.retriever_generator import init_rag, rag_encode
 
     dm, tok = build_data(cfg)
@@ -276,7 +278,16 @@ def run_predict(cfg):
     dbatch = _device_batch(batch, cfg)
     enc = rag_encode(params, cfg.model, store, dbatch)
     ids = generate(params, cfg.model, enc, cfg.generation)
-    return {"predictions": tok.batch_decode(np.asarray(ids))}
+    out = {"predictions": tok.batch_decode(np.asarray(ids))}
+    if cfg.generation.output_copy_probs and store is not None:
+        tr = copy_trace(
+            params, cfg.model, enc, ids,
+            decoder_start_id=cfg.generation.decoder_start_id,
+        )
+        out["copy_traces"] = {
+            k: np.asarray(v).tolist() for k, v in tr.items()
+        }
+    return out
 
 
 def run_pretrain_retriever(cfg):

@@ -32,6 +32,7 @@ class GenerationOptions:
     no_repeat_ngram_size: int = 0
     length_penalty: float = 1.0
     decoder_start_id: int = 2  # LED/BART decoder_start_token_id
+    output_copy_probs: bool = False  # per-token copy traces on predict
 
 
 def _ban_repeated_ngrams(
@@ -246,3 +247,52 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
     best_alive = seqs.reshape(b, beams, t_max + 1)[:, 0]
     best = jnp.where(use_fin[:, None], fin_seqs[:, 0], best_alive)
     return best[:, 1:]
+
+
+def copy_trace(
+    params,
+    cfg: RAGConfig,
+    enc_out: RAGEncoderOutput,
+    generated_ids: jax.Array,  # [B, T]
+    *,
+    decoder_start_id: int = 2,
+    top_positions: int = 4,
+    dtype=jnp.float32,
+):
+    """Per-token copy-probability traces for generated sequences.
+
+    Parity surface for `output_copy_probs` (reference per-token traces
+    collected during beam search, sotasum/lightning_model.py:340-354):
+    one teacher-forced pass over the generated ids yields, per output
+    token, the copy gate and the top memory positions it copied from.
+
+    Returns dict with copy_gate [B, T], copy_mass [B, T],
+    top_mem_pos [B, T, P] (flattened memory positions), and
+    top_mem_tok [B, T, P] (their vocab ids).
+    """
+    from .led import shift_tokens_right
+
+    dec_in = shift_tokens_right(
+        generated_ids, cfg.led.pad_id, decoder_start_id
+    )
+    _, aux, _ = rag_decode(params, cfg, enc_out, dec_in, dtype=dtype)
+    if not aux:
+        return {}
+    gate = aux["copy_gate"][..., 0]
+    probs = aux["copy_probs"]  # [B, T, M]
+    top_vals, top_pos = jax.lax.top_k(probs, top_positions)
+    top_tok = jnp.take_along_axis(
+        jnp.broadcast_to(
+            enc_out.copy_seq[:, None, :],
+            (probs.shape[0], probs.shape[1], probs.shape[2]),
+        ),
+        top_pos,
+        axis=-1,
+    )
+    return {
+        "copy_gate": gate,
+        "copy_mass": jnp.sum(probs, axis=-1),
+        "top_mem_pos": top_pos,
+        "top_mem_tok": top_tok,
+        "top_mem_prob": top_vals,
+    }

@@ -66,6 +66,23 @@ class RAGConfig:
     memory_forcing: str = "no_forcing"  # model_config.py:40
     copy_forcing: float = 0.0  # model_config.py:81
     memory_model_fixed: bool = True  # share mips/memory encoder weights?
+    mips_freezed: bool = False  # model_config.py:45
+    mips_encoder_freezed: bool = False  # model_config.py:46
+    query_encoder_freezed: bool = False
+
+    def frozen_groups(self) -> tuple[str, ...]:
+        """Freeze policy → param groups (reference setup freeze logic,
+        sotasum/lightning_model.py:140-146: mips_freezed freezes the whole
+        retrieval stack; mips_encoder_freezed only the index-side
+        encoder)."""
+        groups = []
+        if self.mips_freezed:
+            groups += ["query_encoder", "mips_encoder", "memory_encoder"]
+        if self.mips_encoder_freezed:
+            groups += ["mips_encoder"]
+        if self.query_encoder_freezed:
+            groups += ["query_encoder"]
+        return tuple(dict.fromkeys(groups))
 
     @property
     def memory_slots(self) -> int:

@@ -106,6 +106,25 @@ def make_train_step(
             )
         if enc_out.mips_scores is not None:
             metrics["mips_score_mean"] = jnp.mean(enc_out.mips_scores)
+        if (
+            enc_out.retrieved_idx is not None
+            and store is not None
+            and store.row_aids is not None
+            and "gold_aid" in batch
+        ):
+            # in-training retriever metrics vs gold cited aid (reference
+            # log_retriever_metrics, sotasum/mips.py:456-463)
+            from ..retriever.metrics import retriever_metrics_fixed
+
+            r_aids = jnp.take(
+                store.row_aids, jnp.maximum(enc_out.retrieved_idx, 0), axis=0
+            )  # [B, k, A]
+            hits = (r_aids == batch["gold_aid"][:, None, None]).any(-1)
+            counts = batch.get(
+                "aid_counts", jnp.ones_like(batch["gold_aid"])
+            )
+            rm = retriever_metrics_fixed(hits, counts)
+            metrics.update({f"retriever_{k_}": v for k_, v in rm.items()})
         return loss, metrics
 
     @functools.partial(jax.jit, donate_argnums=(0,))

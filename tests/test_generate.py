@@ -77,3 +77,19 @@ def test_memory_conditioned_generation_runs():
     )
     assert out.shape == (2, 6)
     assert np.asarray(out).dtype == np.int32
+
+
+def test_copy_trace():
+    from retrieval_augmented_mds_tpu.models.generate import copy_trace
+
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(5), cfg)
+    store = _store(cfg)
+    batch = _batch(cfg)
+    enc = rag_encode(params, cfg, store, batch)
+    ids = generate(params, cfg, enc, GenerationOptions(max_new_tokens=5))
+    tr = copy_trace(params, cfg, enc, ids)
+    assert tr["copy_gate"].shape == (2, 5)
+    assert tr["top_mem_tok"].shape == (2, 5, 4)
+    g = np.asarray(tr["copy_gate"])
+    assert (g >= 0).all() and (g <= 1).all()

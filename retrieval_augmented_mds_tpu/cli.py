@@ -164,14 +164,21 @@ def run_fit(cfg) -> dict[str, Any]:
         None if cfg.model.mips_disabled else build_store(params, cfg, dm, mesh)
     )
 
+    import jax.numpy as jnp
+
     frozen = tuple(cfg.train.frozen_groups) + cfg.model.frozen_groups()
     tx = build_optimizer(
         cfg.train.lr, cfg.train.warmup_steps, cfg.train.total_steps,
         weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
         frozen_groups=frozen, params=params,
+        accumulate_steps=cfg.train.accumulate_steps,
     )
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(cfg.model, tx, cfg.train, mesh=mesh)
+    dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
+    step_fn = make_train_step(
+        cfg.model, tx, cfg.train, mesh=mesh, dtype=dtype,
+        remat=cfg.train.remat,
+    )
 
     log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name)
     log.log_hyperparams(dataclasses.asdict(cfg))

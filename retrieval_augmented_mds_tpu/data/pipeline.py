@@ -91,20 +91,25 @@ def prepare_rag_examples(
     source_memory: bool = False,
     aid_vocab: dict[str, int] | None = None,
     max_ignore: int = 8,
+    prompt_prefix: str = "",  # T5 "summarize: " (data_modules.py:152-155)
+    dual_memory: bool = False,  # input docs as memory slots (mips.py:445-451)
+    memory_len: int = 128,
+    max_input_docs: int = 4,
 ) -> dict[str, np.ndarray]:
     """Examples → fixed-shape arrays (the offline `prepare_data` pass)."""
     df = add_aid_counts(df)
 
-    inputs, queries, targets = [], [], []
+    inputs, queries, targets, doc_lists = [], [], [], []
     for _, item in df.iterrows():
         refs = [a for a in item["ref_abstract"]["abstract"] if a != ""]
         if source_memory:
-            inputs.append(item["abstract"])
+            inputs.append(prompt_prefix + item["abstract"])
             queries.append(" ".join([item["abstract"]] + refs))
         else:
-            inputs.append(doc_sep.join([item["abstract"]] + refs))
+            inputs.append(prompt_prefix + doc_sep.join([item["abstract"]] + refs))
             queries.append(item["abstract"])
         targets.append(strip_cites(item["related_work"]))
+        doc_lists.append([item["abstract"]] + refs)
 
     enc = tokenizer(inputs, max_length=max_length)
     q = query_tokenizer(queries, max_length=query_max_length)
@@ -130,6 +135,20 @@ def prepare_rag_examples(
         out["gold_aid"] = np.asarray(
             [aid_vocab.get(a, -1) for a in df["aid"]], np.int32
         )
+    if dual_memory:
+        b = len(doc_lists)
+        mem_ids = np.ones((b, max_input_docs, memory_len), np.int32)
+        mem_mask = np.zeros((b, max_input_docs, memory_len), np.int32)
+        counts = np.zeros((b,), np.int32)
+        for i, docs in enumerate(doc_lists):
+            docs = docs[:max_input_docs]
+            toks = tokenizer(docs, max_length=memory_len)
+            mem_ids[i, : len(docs)] = toks["input_ids"]
+            mem_mask[i, : len(docs)] = toks["attention_mask"]
+            counts[i] = len(docs)
+        out["input_memory_ids"] = mem_ids
+        out["input_memory_mask"] = mem_mask
+        out["input_memory_count"] = counts
     return out
 
 
@@ -181,6 +200,8 @@ class RAGDataModule:
     memory_len: int = 128
     source_memory: bool = False
     doc_sep: str = "<DOC_SEP>"
+    prompt_prefix: str = ""
+    dual_memory: bool = False
 
     def prepare(self):
         self.corpus = build_mips_corpus(self.df, self.corpus_column)
@@ -195,7 +216,8 @@ class RAGDataModule:
             query_max_length=self.query_max_length,
             decoder_max_length=self.decoder_max_length,
             doc_sep=self.doc_sep, source_memory=self.source_memory,
-            aid_vocab=self.aid_vocab,
+            aid_vocab=self.aid_vocab, prompt_prefix=self.prompt_prefix,
+            dual_memory=self.dual_memory, memory_len=self.memory_len,
         )
         return self
 

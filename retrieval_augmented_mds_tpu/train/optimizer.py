@@ -56,6 +56,7 @@ def build_optimizer(
     grad_clip: float | None = None,  # reference gradient_clip_val 0.1
     frozen_groups: Iterable[str] = (),
     params=None,
+    accumulate_steps: int = 1,  # reference accumulate_grad_batches
 ):
     """Returns an optax GradientTransformation."""
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
@@ -76,4 +77,8 @@ def build_optimizer(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
+    if accumulate_steps > 1:
+        # grad accumulation (reference accumulate_grad_batches: 8,
+        # config/no_mips.yaml:58)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx

@@ -68,6 +68,7 @@ class TrainHyper:
     accumulate_steps: int = 1
     mips_rebuild_every: int = 650  # no_mips.yaml:114
     frozen_groups: tuple[str, ...] = ()  # mips_freezed etc.
+    remat: bool = False  # gradient checkpointing (model_config.py:35)
 
 
 def make_train_step(

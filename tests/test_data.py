@@ -100,3 +100,19 @@ def test_aid_counts():
     out = add_aid_counts(df)
     assert out.loc[0, "aid_counts"] == 2
     assert out.loc[2, "aid_counts"] == 1
+
+
+def test_dual_memory_and_prompt_prefix():
+    df = synthetic_multi_x_science(12)
+    tok = HashTokenizer(512)
+    dm = RAGDataModule(
+        df, tok, tok, max_length=64, query_max_length=32,
+        decoder_max_length=16, memory_len=32, dual_memory=True,
+        prompt_prefix="summarize: ",
+    ).prepare()
+    b = next(dm.batches(4))
+    assert b["input_memory_ids"].shape == (4, 4, 32)
+    assert b["input_memory_count"].min() >= 1
+    # prompt prefix tokens prepended to every input
+    first = tok("summarize: ", max_length=8)["input_ids"][0]
+    assert b["input_ids"][0, 1] == first[1]

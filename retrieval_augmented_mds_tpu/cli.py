@@ -116,6 +116,7 @@ def build_store(params, cfg, dm, mesh=None):
     return MemoryStore(
         index=index, token_ids=ids, token_mask=mask,
         row_aids=jnp.asarray(aids) if aids is not None else None,
+        nprobe=cfg.index.nprobe,
     )
 
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..index.flat import FlatIndex
-from ..index.flat import search as index_search
+from ..index.flat import search as flat_search
 from .config import EncoderConfig, Seq2SeqConfig
 from .copy_decoder import (
     copy_decoder_forward,
@@ -113,10 +113,13 @@ class MemoryStore:
     in-training retriever metrics (reference `aid` lists, mips.py:456-463).
     """
 
-    index: FlatIndex
+    index: Any  # FlatIndex | IVFIndex
     token_ids: jax.Array  # [N_pad, L_mem] int32
     token_mask: jax.Array  # [N_pad, L_mem] int32
     row_aids: jax.Array | None = None  # [N_pad, A] int32
+    nprobe: int = dataclasses.field(
+        default=8, metadata=dict(static=True)
+    )  # IVF probe width (mips_nprobe, model_config.py:51)
 
 
 @dataclasses.dataclass
@@ -209,13 +212,19 @@ def rag_encode(
             mem_mask = batch["target_memory_mask"][:, None]
             idx = None
         else:
-            faiss_scores, idx = index_search(
-                store.index,
-                jax.lax.stop_gradient(query_cls),
-                k=k,
-                ignore=batch.get("mips_ignore"),
-                mesh=mesh,
-            )
+            q_detached = jax.lax.stop_gradient(query_cls)
+            if isinstance(store.index, FlatIndex):
+                faiss_scores, idx = flat_search(
+                    store.index, q_detached, k=k,
+                    ignore=batch.get("mips_ignore"), mesh=mesh,
+                )
+            else:  # IVF (coarse-quantized) index
+                from ..index.ivf import ivf_search
+
+                faiss_scores, idx = ivf_search(
+                    store.index, q_detached, k=k, nprobe=store.nprobe,
+                    ignore=batch.get("mips_ignore"),
+                )
             safe_idx = jnp.maximum(idx, 0)
             mem_ids = jnp.take(store.token_ids, safe_idx, axis=0)  # [B,k,L]
             mem_mask = jnp.take(store.token_mask, safe_idx, axis=0)

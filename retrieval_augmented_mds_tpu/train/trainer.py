@@ -228,16 +228,32 @@ def refresh_store(
         store.token_ids[:n], store.token_mask[:n],
         batch_size=batch_size, dtype=dtype,
     )
-    index = build_flat_index(
-        emb,
-        metric=store.index.metric,
-        normalize=store.index.normalized,
-        dtype=store.index.embeddings.dtype,
-        mesh=mesh,
-    )
+    from ..index.flat import FlatIndex
+    from ..index.ivf import build_ivf_index
+
+    if isinstance(store.index, FlatIndex):
+        payload = (
+            "int8" if store.index.row_scale is not None
+            else store.index.embeddings.dtype
+        )
+        index = build_flat_index(
+            emb,
+            metric=store.index.metric,
+            normalize=store.index.normalized,
+            dtype=payload,
+            mesh=mesh,
+        )
+    else:
+        index = build_ivf_index(
+            emb, store.index.n_clusters,
+            metric=store.index.metric,
+            normalize=store.index.normalized,
+            dtype=store.index.clustered.dtype,
+        )
     return MemoryStore(
         index=index,
         token_ids=store.token_ids,
         token_mask=store.token_mask,
         row_aids=store.row_aids,
+        nprobe=store.nprobe,
     )

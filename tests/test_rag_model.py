@@ -144,3 +144,28 @@ def test_self_exclusion_respected(setup):
     got = np.asarray(enc1.retrieved_idx)
     for b in range(B):
         assert first[b, 0] not in set(got[b])
+
+
+def test_rag_with_ivf_index():
+    """End-to-end RAG forward with the IVF (coarse-quantized) index."""
+    from retrieval_augmented_mds_tpu.index.ivf import build_ivf_index
+
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    h = cfg.query_enc.d_model
+    emb = rng.standard_normal((N, h)).astype(np.float32)
+    ivf = build_ivf_index(emb, n_clusters=8, dtype=jnp.float32)
+    ids = rng.integers(4, cfg.mips_enc.vocab_size, (N, LM)).astype(np.int32)
+    store = MemoryStore(
+        index=ivf,
+        token_ids=jnp.asarray(ids),
+        token_mask=jnp.ones((N, LM), jnp.int32),
+        row_aids=None,
+        nprobe=4,
+    )
+    batch = _batch(cfg)
+    out, aux, enc_out = rag_forward(params, cfg, store, batch)
+    assert out.shape[0] == B
+    assert enc_out.retrieved_idx.shape == (B, cfg.mips_topk)
+    assert int(enc_out.retrieved_idx.max()) < N

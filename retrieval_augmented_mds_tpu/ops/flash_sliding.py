@@ -215,8 +215,12 @@ def _local_rows_xla(q, k, v, key_bias, kg, vg, g_bias, window):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, window):
-    """Local-query rows; Pallas forward on TPU, XLA recompute backward."""
-    if jax.default_backend() == "tpu":
+    """Local-query rows; Pallas forward on TPU, XLA recompute backward.
+
+    The kernel needs window % 128 == 0 (bias lane tiling); production
+    windows (LED 512, Longformer 256) qualify — tiny test configs fall
+    back to the XLA composite."""
+    if jax.default_backend() == "tpu" and window % 128 == 0:
         return flash_sliding_attention(
             q, k, v, key_bias, kg, vg, g_bias, window=window
         )

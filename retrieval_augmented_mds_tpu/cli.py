@@ -175,6 +175,15 @@ def run_fit(cfg) -> dict[str, Any]:
         accumulate_steps=cfg.train.accumulate_steps,
     )
     state = TrainState.create(params, tx)
+    start_step = 0
+    if cfg.ckpt_dir and os.path.exists(
+        os.path.join(cfg.ckpt_dir, "latest.json")
+    ):
+        # resume (reference ckpt_path, no_mips.yaml:72)
+        from .utils.checkpoint import load_train_state
+
+        state, start_step = load_train_state(cfg.ckpt_dir, state)
+        print(f"resumed from step {start_step}")
     dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
     step_fn = make_train_step(
         cfg.model, tx, cfg.train, mesh=mesh, dtype=dtype,
@@ -188,8 +197,9 @@ def run_fit(cfg) -> dict[str, Any]:
     teams.on_fit_start()
 
     rng = np.random.default_rng(cfg.seed)
-    step = 0
+    step = start_step
     metrics = {}
+    best_rouge1 = -1.0
     try:
         while step < cfg.max_steps:
             for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + step):
@@ -220,7 +230,12 @@ def run_fit(cfg) -> dict[str, Any]:
                 if cfg.eval_every and step % cfg.eval_every == 0:
                     ev = run_eval_loop(cfg, state.params, store, dm, tok)
                     log.log(step, ev, prefix="val_")
-        if cfg.ckpt_dir:
+                    # checkpoint on max rouge1 (reference ModelCheckpoint
+                    # monitor, config/no_mips.yaml:27-33)
+                    if cfg.ckpt_dir and ev.get("rouge1", 0) > best_rouge1:
+                        best_rouge1 = ev["rouge1"]
+                        save_train_state(cfg.ckpt_dir, state, step)
+        if cfg.ckpt_dir and best_rouge1 < 0:
             save_train_state(cfg.ckpt_dir, state, step)
     except BaseException as e:  # noqa: BLE001
         teams.on_exception(e)
@@ -230,14 +245,17 @@ def run_fit(cfg) -> dict[str, Any]:
     return out
 
 
-def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2):
+def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
+                  dump_name: str | None = None):
     """Generate + ROUGE (reference validation path,
-    sotasum/lightning_model.py:327-398)."""
+    sotasum/lightning_model.py:327-398); optional per-epoch output dump
+    (lightning_model.py:383-389)."""
     from .eval import RougeAccumulator
     from .models.generate import generate
     from .models.retriever_generator import rag_encode
 
     acc = RougeAccumulator()
+    outputs = []
     for bi, batch in enumerate(dm.batches(cfg.data.batch_size, shuffle=False)):
         if bi >= max_batches:
             break
@@ -247,6 +265,15 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2):
         preds = tok.batch_decode(np.asarray(ids))
         refs = tok.batch_decode(np.asarray(batch["labels"]))
         acc.add_batch(preds, refs)
+        outputs.extend(
+            {"prediction": p, "reference": r} for p, r in zip(preds, refs)
+        )
+    if dump_name:
+        from .obs import MetricsLogger
+
+        MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name).dump_outputs(
+            dump_name, outputs
+        )
     return acc.compute()
 
 
@@ -270,7 +297,12 @@ def run_validate(cfg):
         state, _ = load_train_state(cfg.ckpt_dir, like)
         params = state.params
     store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
-    return run_eval_loop(cfg, params, store, dm, tok)
+    import time as _t
+
+    return run_eval_loop(
+        cfg, params, store, dm, tok,
+        dump_name=f"test_outputs_{int(_t.time())}",
+    )
 
 
 def run_predict(cfg):

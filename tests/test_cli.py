@@ -58,3 +58,16 @@ def test_pretrain_retriever_smoke(tmp_path):
     out = run_pretrain_retriever(cfg)
     assert "train_accuracy" in out
     assert os.path.exists(tmp_path / "ck" / "encoders.npz")
+
+
+@pytest.mark.slow
+def test_fit_resume_from_checkpoint(tmp_path):
+    cfg = _cfg(CFG, tmp_path, max_steps=2, eval_every=2,
+               ckpt_dir=str(tmp_path / "ckpt"))
+    run_fit(cfg)
+    assert os.path.exists(tmp_path / "ckpt" / "latest.json")
+    # resume: second run starts at the saved step and extends
+    cfg2 = _cfg(CFG, tmp_path, max_steps=3, eval_every=0,
+                ckpt_dir=str(tmp_path / "ckpt"))
+    out = run_fit(cfg2)
+    assert out["steps"] == 3

@@ -234,6 +234,16 @@ def _fwd(q, k, v, key_bias, kg, vg, g_bias, window):
 
 def _bwd(window, res, g):
     q, k, v, key_bias, kg, vg, g_bias = res
+    if jax.default_backend() == "tpu" and window % 128 == 0:
+        from .flash_sliding_bwd import flash_sliding_backward
+
+        dq, dk, dv, dkg, dvg = flash_sliding_backward(
+            q, k, v, key_bias, kg, vg, g_bias, g, window=window
+        )
+        return (
+            dq, dk, dv, jnp.zeros_like(key_bias), dkg, dvg,
+            jnp.zeros_like(g_bias),
+        )
     _, vjp = jax.vjp(
         lambda *a: _local_rows_xla(*a, window), q, k, v, key_bias, kg, vg,
         g_bias,

@@ -1,0 +1,51 @@
+"""Fused flash backward kernels vs autodiff of the XLA composite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retrieval_augmented_mds_tpu.ops.flash_sliding import _local_rows_xla
+from retrieval_augmented_mds_tpu.ops.flash_sliding_bwd import (
+    flash_sliding_backward,
+)
+
+
+def test_backward_kernels_match_autodiff():
+    key = jax.random.PRNGKey(0)
+    b, nh, t, dh, w, g = 2, 2, 256, 32, 128, 3
+    ks = jax.random.split(key, 8)
+    q = jax.random.normal(ks[0], (b, nh, t, dh))
+    k = jax.random.normal(ks[1], (b, nh, t, dh))
+    v = jax.random.normal(ks[2], (b, nh, t, dh))
+    kg = jax.random.normal(ks[3], (b, nh, g, dh))
+    vg = jax.random.normal(ks[4], (b, nh, g, dh))
+    key_bias = jnp.where(
+        jax.random.bernoulli(ks[5], 0.9, (b, t)), 0.0, -1e9
+    ).astype(jnp.float32)
+    g_bias = jnp.where(
+        jax.random.bernoulli(ks[6], 0.8, (b, g)), 0.0, -1e9
+    ).astype(jnp.float32)
+    do = jax.random.normal(ks[7], (b, nh, t, dh))
+    # zero upstream grads on masked query rows (the caller does this)
+    do = do * (key_bias == 0.0).astype(do.dtype)[:, None, :, None]
+
+    _, vjp = jax.vjp(
+        lambda q, k, v, kg, vg: _local_rows_xla(
+            q, k, v, key_bias, kg, vg, g_bias, w
+        ),
+        q, k, v, kg, vg,
+    )
+    rq, rk, rv, rkg, rvg = vjp(do)
+
+    dq, dk, dv, dkg, dvg = flash_sliding_backward(
+        q, k, v, key_bias, kg, vg, g_bias, do, window=w, interpret=True
+    )
+
+    for name, got, ref in [
+        ("dq", dq, rq), ("dk", dk, rk), ("dv", dv, rv),
+        ("dkg", dkg, rkg), ("dvg", dvg, rvg),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )

@@ -183,6 +183,7 @@ def encode_corpus(
     *,
     batch_size: int = 64,
     dtype=jnp.float32,
+    mesh=None,
 ) -> jax.Array:
     """CLS-embed the whole corpus in fixed-size batches (the reference's
     `encode_text2` datasets.map pass, sotasum/mips.py:226-244 — without the
@@ -198,6 +199,15 @@ def encode_corpus(
             [token_mask, jnp.tile(token_mask[:1], (pad, 1))], 0
         )
 
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        if batch_size % mesh.shape[DATA_AXIS] == 0:
+            sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+
     @jax.jit
     def enc(ids, mask):
         hid = longformer_encode(enc_params, enc_cfg, ids, mask, dtype=dtype)
@@ -205,8 +215,14 @@ def encode_corpus(
 
     outs = []
     for i in range(0, token_ids.shape[0], batch_size):
-        outs.append(enc(token_ids[i : i + batch_size],
-                        token_mask[i : i + batch_size]))
+        ids = token_ids[i : i + batch_size]
+        mask = token_mask[i : i + batch_size]
+        if sharding is not None:
+            # data-parallel corpus embed over the mesh (replaces the
+            # reference's rank-chunked encode_text2, mips.py:226-244)
+            ids = jax.device_put(ids, sharding)
+            mask = jax.device_put(mask, sharding)
+        outs.append(enc(ids, mask))
     return jnp.concatenate(outs, axis=0)[:n]
 
 
@@ -226,7 +242,7 @@ def refresh_store(
     emb = encode_corpus(
         params["mips_encoder"], cfg.mips_enc,
         store.token_ids[:n], store.token_mask[:n],
-        batch_size=batch_size, dtype=dtype,
+        batch_size=batch_size, dtype=dtype, mesh=mesh,
     )
     from ..index.flat import FlatIndex
     from ..index.ivf import build_ivf_index

@@ -1,0 +1,171 @@
+"""Per-query IVF search kernel for the serving regime.
+
+The batched union-probe path (index/ivf.py) amortizes cluster reads over
+the whole batch — right for training-sized batches. At serving batch
+sizes (B ≤ ~16) the union is small but the gathered-subset formulation
+still touches more rows than necessary; this kernel reads EXACTLY each
+query's nprobe clusters from HBM, steered by scalar-prefetched probe ids
+(pltpu.PrefetchScalarGridSpec): grid = (B, nprobe), block index maps look
+up the cluster id for the current (query, probe) pair, and a running
+top-k in VMEM merges across probes. Traffic: B·nprobe·cap·D bytes vs the
+flat scan's N·D.
+
+The always-probed spill buffer is searched with the flat kernel and
+merged outside (it is tiny by construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.mips_topk import NEG_INF, _INT_MAX, _RUN, mips_topk
+from .ivf import IVFIndex
+
+
+def _kernel(
+    probes_ref,  # scalar prefetch: [B * nprobe] int32 cluster ids
+    q_ref,  # [1, 1, D]
+    e_ref,  # [1, L, D] this probe's cluster rows
+    bias_ref,  # [1, 1, L] row bias (−inf on pads)
+    out_vals_ref,  # [1, 1, _RUN]
+    out_pos_ref,  # [1, 1, _RUN] positions p*L+slot into the probed set
+    run_vals,  # scratch [1, _RUN]
+    run_pos,  # scratch [1, _RUN]
+    *,
+    k: int,
+    L: int,
+):
+    p = pl.program_id(1)
+    np_ = pl.num_programs(1)
+
+    @pl.when(p == 0)
+    def _init():
+        run_vals[:] = jnp.full(run_vals.shape, NEG_INF, jnp.float32)
+        run_pos[:] = jnp.full(run_pos.shape, _INT_MAX, jnp.int32)
+
+    q = q_ref[0].astype(jnp.float32)  # [1, D]
+    scores = jax.lax.dot_general(
+        q, e_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, L]
+    scores = scores + bias_ref[0, 0][None, :]
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) + p * L
+    )
+
+    cand_vals = jnp.concatenate([scores, run_vals[:]], axis=-1)
+    cand_pos = jnp.concatenate([pos, run_pos[:]], axis=-1)
+    nv, npos = [], []
+    for _ in range(k):
+        m = jnp.max(cand_vals, axis=-1)
+        hit = cand_vals == m[:, None]
+        picked = jnp.min(jnp.where(hit, cand_pos, _INT_MAX), axis=-1)
+        nv.append(m)
+        npos.append(picked)
+        cand_vals = jnp.where(hit, NEG_INF, cand_vals)
+    pad = _RUN - k
+    vals = jnp.pad(jnp.stack(nv, -1), ((0, 0), (0, pad)),
+                   constant_values=NEG_INF)
+    poss = jnp.pad(jnp.stack(npos, -1), ((0, 0), (0, pad)),
+                   constant_values=_INT_MAX)
+    run_vals[:] = vals
+    run_pos[:] = poss
+
+    @pl.when(p == np_ - 1)
+    def _emit():
+        out_vals_ref[0] = run_vals[:]
+        out_pos_ref[0] = run_pos[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret"))
+def ivf_search_serving(
+    index: IVFIndex,
+    queries: jax.Array,  # [B, D]
+    k: int = 10,
+    nprobe: int = 8,
+    *,
+    interpret: bool | None = None,
+):
+    """Per-query probed search. Returns (scores [B, k], doc ids [B, k])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d = queries.shape
+    d_pad = index.dim
+    c = index.n_clusters
+    L = index.clustered.shape[1]
+    nprobe = min(nprobe, c)
+    assert k <= _RUN
+
+    q = queries.astype(jnp.float32)
+    if index.normalized and index.metric == "ip":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    if d != d_pad:
+        q = jnp.zeros((b, d_pad), q.dtype).at[:, :d].set(q)
+
+    cscores = q @ index.centroids.T + index.centroid_bias[None, :]
+    _, probe = jax.lax.top_k(cscores, nprobe)  # [B, nprobe]
+    probes_flat = probe.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d_pad), lambda i, p, pr: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, L, d_pad),
+                lambda i, p, pr: (pr[i * nprobe + p], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, L), lambda i, p, pr: (pr[i * nprobe + p], 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _RUN), lambda i, p, pr: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _RUN), lambda i, p, pr: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, _RUN), jnp.float32),
+            pltpu.VMEM((1, _RUN), jnp.int32),
+        ],
+    )
+    vals, pos = pl.pallas_call(
+        functools.partial(_kernel, k=k, L=L),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, _RUN), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, _RUN), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        probes_flat,
+        q[:, None, :],
+        index.clustered,
+        index.clustered_bias[:, None, :],
+    )
+    vals = vals[:, 0, :k]
+    pos = pos[:, 0, :k]
+
+    # map probed-set positions → global doc ids
+    probe_slot = jnp.clip(pos // L, 0, nprobe - 1)
+    slot = jnp.clip(pos % L, 0, L - 1)
+    cluster = jnp.take_along_axis(probe, probe_slot, axis=1)  # [B, k]
+    ids = index.clustered_ids[cluster, slot]
+    ids = jnp.where(pos == _INT_MAX, -1, ids)
+
+    # spill buffer (tiny, always probed) via the flat kernel, then merge
+    s_vals, s_pos = mips_topk(
+        q, index.spill, min(k, index.spill.shape[0]), index.spill_bias
+    )
+    s_ids = jnp.where(s_pos >= 0, index.spill_ids[jnp.maximum(s_pos, 0)], -1)
+
+    all_vals = jnp.concatenate([vals, s_vals], axis=1)
+    all_ids = jnp.concatenate([ids, s_ids], axis=1)
+    top_vals, top_sel = jax.lax.top_k(all_vals, k)
+    top_ids = jnp.take_along_axis(all_ids, top_sel, axis=1)
+    return top_vals, top_ids

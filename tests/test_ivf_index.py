@@ -82,3 +82,39 @@ def test_ivf_self_exclusion():
     ids = np.asarray(ids)
     for r in range(4):
         assert r not in set(ids[r])
+
+
+def test_serving_kernel_matches_union_probe():
+    from retrieval_augmented_mds_tpu.index.ivf_serving import ivf_search_serving
+
+    x = _clustered_data(n=2048, d=64, n_true=16, seed=6)
+    rng = np.random.default_rng(7)
+    q = x[rng.integers(0, len(x), 4)] + 0.05 * rng.standard_normal(
+        (4, 64)
+    ).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=16, dtype=jnp.float32, seed=1)
+
+    v1, i1 = ivf_search(idx, jnp.asarray(q), k=5, nprobe=16)  # exhaustive
+    v2, i2 = ivf_search_serving(idx, jnp.asarray(q), k=5, nprobe=16)
+    # both exhaustive → identical sets
+    assert np.array_equal(
+        np.sort(np.asarray(i1), -1), np.sort(np.asarray(i2), -1)
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v1), -1), np.sort(np.asarray(v2), -1), rtol=1e-5
+    )
+
+
+def test_serving_kernel_recall():
+    from retrieval_augmented_mds_tpu.index.ivf_serving import ivf_search_serving
+
+    x = _clustered_data(n=4096, d=64, seed=8)
+    rng = np.random.default_rng(9)
+    q = x[rng.integers(0, len(x), 8)] + 0.1 * rng.standard_normal(
+        (8, 64)
+    ).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=32, dtype=jnp.float32, seed=2)
+    s = q @ x.T
+    ref = np.argsort(-s, -1)[:, :10]
+    _, ids = ivf_search_serving(idx, jnp.asarray(q), k=10, nprobe=8)
+    assert _recall(np.asarray(ids), ref) >= 0.85

@@ -12,6 +12,14 @@ flat scan's N·D.
 
 The always-probed spill buffer is searched with the flat kernel and
 merged outside (it is tiny by construction).
+
+Measured status (v5e-1, D=768, B=4, k=10): the fused flat scan runs at
+HBM speed-of-light (~890 GB/s corpus stream; 0.23 ms at N=131k, 1.8 ms
+at N=1M), and this kernel's per-grid-step overheads currently outweigh
+its traffic advantage (4.7 ms at N=1M, nprobe=16). It is kept as the
+scaling path for corpora that exceed single-chip HBM economics and as
+the base for multi-step DMA pipelining work; the flat kernel is the
+production default at these sizes.
 """
 
 from __future__ import annotations

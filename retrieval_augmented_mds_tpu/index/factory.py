@@ -62,7 +62,8 @@ def build_index_from_factory(
             mesh=mesh,
         )
     n_clusters = min(p["n_clusters"], max(1, len(embeddings) // 8))
+    payload_dtype = "int8" if p["payload"] == "sq8" else dtype
     return build_ivf_index(
         embeddings, n_clusters, metric=metric, normalize=normalize,
-        dtype=dtype, train_size=train_size, seed=seed,
+        dtype=payload_dtype, train_size=train_size, seed=seed,
     )

@@ -102,6 +102,8 @@ class IVFIndex:
     n: int = dataclasses.field(metadata=dict(static=True))
     metric: str = dataclasses.field(metadata=dict(static=True))
     normalized: bool = dataclasses.field(metadata=dict(static=True))
+    clustered_scale: jax.Array | None = None  # [C, L] f32 (SQ8 payloads)
+    spill_scale: jax.Array | None = None  # [S] f32
 
     @property
     def n_clusters(self) -> int:
@@ -183,15 +185,39 @@ def build_ivf_index(
     else:
         cent_bias = jnp.zeros((n_clusters,), jnp.float32)
 
+    cl_scale = sp_scale = None
+    if dtype in ("int8", jnp.int8):
+        # SQ8 payload (reference "IVF256,SQ8", sotasum/config.yaml:94):
+        # per-row symmetric int8 quantization; scores scale per row.
+        amax_c = np.maximum(np.abs(clustered).max(-1), 1e-12)
+        sc_c = (amax_c / 127.0).astype(np.float32)
+        clustered = np.clip(
+            np.round(clustered / sc_c[..., None]), -127, 127
+        ).astype(np.int8)
+        amax_s = np.maximum(np.abs(spill).max(-1), 1e-12)
+        sc_s = (amax_s / 127.0).astype(np.float32)
+        spill = np.clip(np.round(spill / sc_s[:, None]), -127, 127).astype(
+            np.int8
+        )
+        cl_scale = jnp.asarray(np.where(cids >= 0, sc_c, 1.0))
+        sp_scale = jnp.asarray(np.where(sids >= 0, sc_s, 1.0))
+        clustered_j = jnp.asarray(clustered)
+        spill_j = jnp.asarray(spill)
+    else:
+        clustered_j = jnp.asarray(clustered, dtype)
+        spill_j = jnp.asarray(spill, dtype)
+
     return IVFIndex(
         centroids=cent_pad,
         centroid_bias=cent_bias,
-        clustered=jnp.asarray(clustered, dtype),
+        clustered=clustered_j,
         clustered_ids=jnp.asarray(cids),
         clustered_bias=jnp.asarray(cl_bias),
-        spill=jnp.asarray(spill, dtype),
+        spill=spill_j,
         spill_ids=jnp.asarray(sids),
         spill_bias=jnp.asarray(sp_bias),
+        clustered_scale=cl_scale,
+        spill_scale=sp_scale,
         n=n,
         metric=metric,
         normalized=normalize,
@@ -249,6 +275,10 @@ def ivf_search(
     )
     bias = jnp.concatenate([sub_bias.reshape(-1), index.spill_bias])
     ids = jnp.concatenate([sub_ids.reshape(-1), index.spill_ids])
+    scale = None
+    if index.clustered_scale is not None:
+        sub_scale = jnp.take(index.clustered_scale, safe, axis=0)
+        scale = jnp.concatenate([sub_scale.reshape(-1), index.spill_scale])
 
     ign = None
     if ignore is not None:
@@ -256,14 +286,14 @@ def ivf_search(
         # is dynamic; instead mask after retrieval is wrong — so mask by
         # matching retrieved ids below with k + I extra candidates.
         extra = ignore.shape[1]
-        vals, pos = mips_topk(q, corpus, k + extra, bias, None)
+        vals, pos = mips_topk(q, corpus, k + extra, bias, None, scale)
         got = jnp.take(ids, jnp.maximum(pos, 0))
         bad = (got[:, :, None] == ignore[:, None, :].astype(jnp.int32)).any(-1)
         vals = jnp.where(bad, NEG_INF, vals)
         vals, order = jax.lax.top_k(vals, k)
         got = jnp.take_along_axis(got, order, axis=-1)
         return vals, got
-    vals, pos = mips_topk(q, corpus, k, bias, ign)
+    vals, pos = mips_topk(q, corpus, k, bias, ign, scale)
     got = jnp.take(ids, jnp.maximum(pos, 0))
     got = jnp.where(pos >= 0, got, -1)
     return vals, got

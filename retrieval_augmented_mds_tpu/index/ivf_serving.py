@@ -40,6 +40,7 @@ def _kernel(
     q_ref,  # [1, 1, D]
     e_ref,  # [1, L, D] this probe's cluster rows
     bias_ref,  # [1, 1, L] row bias (−inf on pads)
+    scale_ref,  # [1, 1, L] row scale (1.0 unless SQ8)
     out_vals_ref,  # [1, 1, _RUN]
     out_pos_ref,  # [1, 1, _RUN] positions p*L+slot into the probed set
     run_vals,  # scratch [1, _RUN]
@@ -57,12 +58,15 @@ def _kernel(
         run_pos[:] = jnp.full(run_pos.shape, _INT_MAX, jnp.int32)
 
     q = q_ref[0].astype(jnp.float32)  # [1, D]
+    e = e_ref[0]
+    if e.dtype == jnp.int8:
+        e = e.astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
-        q, e_ref[0].astype(jnp.float32),
+        q.astype(e.dtype) if e.dtype == jnp.bfloat16 else q, e,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [1, L]
-    scores = scores + bias_ref[0, 0][None, :]
+    scores = scores * scale_ref[0, 0][None, :] + bias_ref[0, 0][None, :]
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) + p * L
     )
@@ -132,6 +136,9 @@ def ivf_search_serving(
             pl.BlockSpec(
                 (1, 1, L), lambda i, p, pr: (pr[i * nprobe + p], 0, 0)
             ),
+            pl.BlockSpec(
+                (1, 1, L), lambda i, p, pr: (pr[i * nprobe + p], 0, 0)
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, _RUN), lambda i, p, pr: (i, 0, 0)),
@@ -142,6 +149,9 @@ def ivf_search_serving(
             pltpu.VMEM((1, _RUN), jnp.int32),
         ],
     )
+    scale = index.clustered_scale
+    if scale is None:
+        scale = jnp.ones_like(index.clustered_bias)
     vals, pos = pl.pallas_call(
         functools.partial(_kernel, k=k, L=L),
         grid_spec=grid_spec,
@@ -155,6 +165,7 @@ def ivf_search_serving(
         q[:, None, :],
         index.clustered,
         index.clustered_bias[:, None, :],
+        scale[:, None, :],
     )
     vals = vals[:, 0, :k]
     pos = pos[:, 0, :k]
@@ -168,7 +179,8 @@ def ivf_search_serving(
 
     # spill buffer (tiny, always probed) via the flat kernel, then merge
     s_vals, s_pos = mips_topk(
-        q, index.spill, min(k, index.spill.shape[0]), index.spill_bias
+        q, index.spill, min(k, index.spill.shape[0]), index.spill_bias,
+        None, index.spill_scale,
     )
     s_ids = jnp.where(s_pos >= 0, index.spill_ids[jnp.maximum(s_pos, 0)], -1)
 

@@ -118,3 +118,31 @@ def test_serving_kernel_recall():
     ref = np.argsort(-s, -1)[:, :10]
     _, ids = ivf_search_serving(idx, jnp.asarray(q), k=10, nprobe=8)
     assert _recall(np.asarray(ids), ref) >= 0.85
+
+
+def test_ivf_sq8_payload():
+    from retrieval_augmented_mds_tpu.index.ivf_serving import ivf_search_serving
+
+    x = _clustered_data(n=2048, d=64, seed=10)
+    rng = np.random.default_rng(11)
+    q = x[rng.integers(0, len(x), 8)] + 0.1 * rng.standard_normal(
+        (8, 64)
+    ).astype(np.float32)
+    idx8 = build_ivf_index(x, n_clusters=16, dtype="int8", seed=3)
+    assert idx8.clustered.dtype == jnp.int8
+    assert idx8.clustered_scale is not None
+
+    s = q @ x.T
+    ref = np.argsort(-s, -1)[:, :10]
+    _, ids = ivf_search(idx8, jnp.asarray(q), k=10, nprobe=8)
+    assert _recall(np.asarray(ids), ref) >= 0.8
+    _, ids2 = ivf_search_serving(idx8, jnp.asarray(q), k=10, nprobe=8)
+    assert _recall(np.asarray(ids2), ref) >= 0.8
+
+
+def test_factory_sq8_builds_int8():
+    from retrieval_augmented_mds_tpu.index import build_index_from_factory
+
+    x = _clustered_data(n=512, d=32, seed=12)
+    idx = build_index_from_factory(x, "IVF16,SQ8", dtype=jnp.float32)
+    assert idx.clustered.dtype == jnp.int8

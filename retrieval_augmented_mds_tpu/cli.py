@@ -424,6 +424,10 @@ def main(argv=None):
     )
     p.add_argument("--config", default=None)
     p.add_argument("--out", default="./index_out")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax profiler trace of the run into <log_dir>/trace",
+    )
     args = p.parse_args(argv)
 
     from .utils.config import ExperimentConfig, load_config
@@ -436,7 +440,13 @@ def main(argv=None):
     )
 
     if args.command == "fit":
-        out = run_fit(cfg)
+        if args.profile:
+            from .obs import trace
+
+            with trace(os.path.join(cfg.logging.log_dir, "trace")):
+                out = run_fit(cfg)
+        else:
+            out = run_fit(cfg)
     elif args.command in ("validate", "test"):
         out = run_validate(cfg)
     elif args.command == "predict":

@@ -392,7 +392,9 @@ def run_build_index(cfg, out_dir: str):
     if isinstance(store.index, FlatIndex):
         save_flat_index(store.index, out_dir)
     else:
-        raise NotImplementedError("IVF persistence: save the flat payload")
+        from .index.ivf import save_ivf_index
+
+        save_ivf_index(store.index, out_dir)
     np.savez(
         os.path.join(out_dir, "corpus_tokens.npz"),
         token_ids=np.asarray(store.token_ids),

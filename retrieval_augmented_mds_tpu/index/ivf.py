@@ -297,3 +297,61 @@ def ivf_search(
     got = jnp.take(ids, jnp.maximum(pos, 0))
     got = jnp.where(pos >= 0, got, -1)
     return vals, got
+
+
+# ---------------------------------------------------------------------------
+# Persistence (reference Mips.save/load, sotasum/mips.py:531-549)
+# ---------------------------------------------------------------------------
+
+_IVF_ARRAYS = (
+    "centroids", "centroid_bias", "clustered", "clustered_ids",
+    "clustered_bias", "spill", "spill_ids", "spill_bias",
+)
+
+
+def save_ivf_index(index: IVFIndex, path: str) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    arrays = {name: np.asarray(getattr(index, name)) for name in _IVF_ARRAYS}
+    if index.clustered_scale is not None:
+        arrays["clustered_scale"] = np.asarray(index.clustered_scale)
+        arrays["spill_scale"] = np.asarray(index.spill_scale)
+    np.savez(os.path.join(path, "ivf.npz"), **arrays)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "ivf",
+                "n": index.n,
+                "metric": index.metric,
+                "normalized": index.normalized,
+                "payload_dtype": str(index.clustered.dtype),
+            },
+            f,
+        )
+
+
+def load_ivf_index(path: str) -> IVFIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "ivf.npz"))
+    if "int8" in meta["payload_dtype"]:
+        payload = jnp.int8
+    elif "bfloat16" in meta["payload_dtype"]:
+        payload = jnp.bfloat16
+    else:
+        payload = jnp.float32
+    kw = {name: jnp.asarray(data[name]) for name in _IVF_ARRAYS}
+    kw["clustered"] = kw["clustered"].astype(payload)
+    kw["spill"] = kw["spill"].astype(payload)
+    if "clustered_scale" in data:
+        kw["clustered_scale"] = jnp.asarray(data["clustered_scale"])
+        kw["spill_scale"] = jnp.asarray(data["spill_scale"])
+    return IVFIndex(
+        n=meta["n"], metric=meta["metric"], normalized=meta["normalized"],
+        **kw,
+    )

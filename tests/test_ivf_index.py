@@ -146,3 +146,22 @@ def test_factory_sq8_builds_int8():
     x = _clustered_data(n=512, d=32, seed=12)
     idx = build_index_from_factory(x, "IVF16,SQ8", dtype=jnp.float32)
     assert idx.clustered.dtype == jnp.int8
+
+
+def test_ivf_save_load_roundtrip(tmp_path):
+    from retrieval_augmented_mds_tpu.index.ivf import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    x = _clustered_data(n=1024, d=32, seed=13)
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    for dtype in (jnp.float32, "int8"):
+        idx = build_ivf_index(x, n_clusters=8, dtype=dtype, seed=4)
+        save_ivf_index(idx, str(tmp_path / f"ivf_{dtype}"))
+        idx2 = load_ivf_index(str(tmp_path / f"ivf_{dtype}"))
+        v1, i1 = ivf_search(idx, jnp.asarray(q), k=5, nprobe=4)
+        v2, i2 = ivf_search(idx2, jnp.asarray(q), k=5, nprobe=4)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)

@@ -100,14 +100,20 @@ def attention(
     mask: jax.Array | None = None,  # broadcastable to [B, 1|nh, Tq, Tk]; True=keep
     bias: jax.Array | None = None,  # additive logits bias, same broadcast
     cache: Params | None = None,  # {"k","v" [B, nh, Tmax, dh], "pos" []}
+    kv: tuple[jax.Array, jax.Array] | None = None,  # precomputed k/v heads
 ) -> tuple[jax.Array, Params | None]:
     """Multi-head attention. With ``cache``, x_kv is the *new* kv chunk to
     append at cache["pos"] (incremental decode); mask then applies over the
-    full cached length."""
+    full cached length. With ``kv``, the key/value projections are reused
+    (cross-attention during incremental decode — computed once, not per
+    step)."""
     dh = p["q"]["kernel"].shape[1] // n_heads
     q = _split_heads(dense(p["q"], x_q), n_heads)
-    k = _split_heads(dense(p["k"], x_kv), n_heads)
-    v = _split_heads(dense(p["v"], x_kv), n_heads)
+    if kv is not None:
+        k, v = kv
+    else:
+        k = _split_heads(dense(p["k"], x_kv), n_heads)
+        v = _split_heads(dense(p["v"], x_kv), n_heads)
 
     if cache is not None:
         pos = cache["pos"]
@@ -139,6 +145,16 @@ def make_cache(b: int, n_heads: int, dh: int, t_max: int, dtype) -> Params:
         "v": jnp.zeros((b, n_heads, t_max, dh), dtype),
         "pos": jnp.int32(0),
     }
+
+
+def precompute_cross_kv(p: Params, enc_hidden: jax.Array, n_heads: int):
+    """One-time cross-attention K/V projection of the encoder states
+    (HF past_key_values cross entries; saves S·H² matmuls per decode
+    step)."""
+    return (
+        _split_heads(dense(p["k"], enc_hidden), n_heads),
+        _split_heads(dense(p["v"], enc_hidden), n_heads),
+    )
 
 
 def causal_mask(t_q: int, t_k: int, offset) -> jax.Array:

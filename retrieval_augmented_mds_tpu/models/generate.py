@@ -114,10 +114,13 @@ def _step_fn(params, cfg, dtype):
     return step
 
 
-def _init_caches(params, cfg, b, t_max, dtype):
+def _init_caches(params, cfg, b, t_max, dtype, enc_hidden=None):
     from .led import init_decode_caches
 
-    return init_decode_caches(params, cfg.led, b, t_max, dtype)
+    led_params = params["led"] if "led" in params else params
+    return init_decode_caches(
+        led_params, cfg.led, b, t_max, dtype, enc_hidden=enc_hidden
+    )
 
 
 def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
@@ -125,7 +128,9 @@ def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
     t_max = opts.max_new_tokens
     pad, eos = cfg.led.pad_id, cfg.led.eos_id
     step = _step_fn(params, cfg, dtype)
-    caches = _init_caches(params, cfg, b, t_max + 1, dtype)
+    caches = _init_caches(
+        params, cfg, b, t_max + 1, dtype, enc_hidden=enc_out.enc_hidden
+    )
 
     seqs0 = jnp.full((b, t_max + 1), pad, jnp.int32)
     seqs0 = seqs0.at[:, 0].set(opts.decoder_start_id)
@@ -166,7 +171,9 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
     # beam-expand encoder outputs + memory (reference index_select at
     # retriever_generator.py:314-334)
     enc_out = RAGEncoderOutput(**_expand_beams(dataclasses.asdict(enc_out), beams))
-    caches = _init_caches(params, cfg, bb, t_max + 1, dtype)
+    caches = _init_caches(
+        params, cfg, bb, t_max + 1, dtype, enc_hidden=enc_out.enc_hidden
+    )
 
     seqs0 = jnp.full((bb, t_max + 1), pad, jnp.int32)
     seqs0 = seqs0.at[:, 0].set(opts.decoder_start_id)

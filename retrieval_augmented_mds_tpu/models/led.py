@@ -31,6 +31,7 @@ from .core import (
     layernorm_init,
     make_cache,
     mha_init,
+    precompute_cross_kv,
 )
 
 
@@ -146,10 +147,15 @@ def led_decode(
             lp["self_attn"], x, x, cfg.n_heads, mask=smask, cache=cache
         )
         x = layernorm(lp["self_ln"], x + a)
+        ckv = None
+        if cache is not None and "ck" in cache:
+            ckv = (cache["ck"], cache["cv"])
         c, _ = attention(
             lp["cross_attn"], x, enc_hidden.astype(x.dtype), cfg.n_heads,
-            mask=cross_mask,
+            mask=cross_mask, kv=ckv,
         )
+        if new_cache is not None and ckv is not None:
+            new_cache = dict(new_cache, ck=cache["ck"], cv=cache["cv"])
         x = layernorm(lp["cross_ln"], x + c)
         x = layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
         return x, new_cache
@@ -175,13 +181,22 @@ def led_lm_logits(params: Params, hidden: jax.Array) -> jax.Array:
 
 
 def init_decode_caches(
-    params: Params, cfg: Seq2SeqConfig, b: int, t_max: int, dtype=jnp.float32
+    params: Params, cfg: Seq2SeqConfig, b: int, t_max: int, dtype=jnp.float32,
+    enc_hidden: jax.Array | None = None,
 ) -> list[Params]:
+    """Self-attention KV caches; with ``enc_hidden``, also precompute the
+    per-layer cross-attention K/V once (reused every decode step)."""
     dh = cfg.d_model // cfg.n_heads
-    return [
-        make_cache(b, cfg.n_heads, dh, t_max, dtype)
-        for _ in range(cfg.dec_layers)
-    ]
+    caches = []
+    for lp in params["decoder"]:
+        c = make_cache(b, cfg.n_heads, dh, t_max, dtype)
+        if enc_hidden is not None:
+            ck, cv = precompute_cross_kv(
+                lp["cross_attn"], enc_hidden.astype(dtype), cfg.n_heads
+            )
+            c = dict(c, ck=ck, cv=cv)
+        caches.append(c)
+    return caches
 
 
 def shift_tokens_right(ids: jax.Array, pad_id: int, start_id: int):

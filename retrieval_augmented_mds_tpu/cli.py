@@ -404,15 +404,51 @@ def run_build_index(cfg, out_dir: str):
 
 
 def run_bench_index(cfg):
-    import subprocess
-    import sys
+    """Index benchmarks beyond the driver's one-line bench.py: build time
+    (embed + cluster, the BASELINE.md third metric), flat vs IVF recall,
+    and queries/sec, on a synthetic corpus shaped like the config."""
+    import jax
+    import jax.numpy as jnp
 
-    r = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
-        capture_output=True, text=True,
+    from .index import build_flat_index, build_ivf_index, ivf_search, search
+    from .utils.cpu_baseline import cpu_mips_search
+
+    rng = np.random.default_rng(cfg.seed)
+    n = cfg.data.mips_db_max_size or 65536
+    d = cfg.model.mips_enc.d_model
+    b, k = 64, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    out: dict[str, Any] = {"n": n, "d": d}
+
+    t0 = time.perf_counter()
+    flat = build_flat_index(x, dtype=dtype)
+    jax.block_until_ready(flat.embeddings)
+    out["flat_build_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    nc = min(256, max(1, n // 64))
+    ivf = build_ivf_index(x, n_clusters=nc, dtype=dtype,
+                          train_size=min(n, 16384), iters=5)
+    jax.block_until_ready(ivf.clustered)
+    out["ivf_build_s"] = round(time.perf_counter() - t0, 3)
+
+    _, ref = cpu_mips_search(x, q, k)
+    _, fi = search(flat, jnp.asarray(q), k=k)
+    fi = np.asarray(fi)
+    out["flat_recall"] = round(
+        sum(len(set(fi[i]) & set(ref[i])) for i in range(b)) / (b * k), 4
     )
-    print(r.stdout.strip())
-    return json.loads(r.stdout.strip().splitlines()[-1])
+    for nprobe in (8, 32):
+        _, ii = ivf_search(ivf, jnp.asarray(q), k=k, nprobe=nprobe)
+        ii = np.asarray(ii)
+        out[f"ivf_recall_nprobe{nprobe}"] = round(
+            sum(len(set(ii[i]) & set(ref[i])) for i in range(b)) / (b * k), 4
+        )
+    return out
 
 
 def main(argv=None):

@@ -110,3 +110,40 @@ def test_blocked_matches_fused():
                                jnp.asarray(bias), jnp.asarray(ignore))
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_edge_small_corpus_k_exceeds_n():
+    """k > n: missing slots padded with -1 / NEG_INF-ish values."""
+    rng = np.random.default_rng(10)
+    e = rng.standard_normal((5, 16)).astype(np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 8)
+    idx = np.asarray(idx)
+    assert set(idx[0][:5]) == set(range(5))
+    assert (idx[:, 5:] == -1).all()
+
+
+def test_edge_single_query_single_k():
+    rng = np.random.default_rng(11)
+    e = rng.standard_normal((300, 32)).astype(np.float32)
+    q = rng.standard_normal((1, 32)).astype(np.float32)
+    vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 1)
+    assert int(idx[0, 0]) == int(np.argmax(q @ e.T))
+
+
+def test_edge_large_dim():
+    rng = np.random.default_rng(12)
+    e = rng.standard_normal((600, 1536)).astype(np.float32)
+    q = rng.standard_normal((3, 1536)).astype(np.float32)
+    _, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 4)
+    ref = np.argsort(-(q @ e.T), -1)[:, :4]
+    assert np.array_equal(np.sort(np.asarray(idx), -1), np.sort(ref, -1))
+
+
+def test_edge_all_ignored_rows_return_minus_one():
+    rng = np.random.default_rng(13)
+    e = rng.standard_normal((8, 16)).astype(np.float32)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    ignore = jnp.asarray(np.arange(8, dtype=np.int32)[None, :])
+    vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 3, None, ignore)
+    assert (np.asarray(idx) == -1).all()

@@ -114,6 +114,70 @@ class IVFIndex:
         return self.centroids.shape[1]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "cap", "spill_cap", "d_pad",
+                              "metric", "sq8")
+)
+def _pack_device(x, assign, *, n_clusters, cap, spill_cap, d_pad, metric,
+                 sq8):
+    """Device-side invlist packing: sort by cluster, cumcount positions,
+    one row-window scatter into [C, cap, D] (+ spill). Replaces the old
+    host loop — the packed layout never leaves HBM (the reference's
+    filesystem data plane, gone; SURVEY.md §5.8)."""
+    n, d = x.shape
+    xp = jnp.zeros((n, d_pad), jnp.float32).at[:, :d].set(x)
+    order = jnp.argsort(assign, stable=True)
+    sorted_a = assign[order]
+    starts = jnp.searchsorted(sorted_a, jnp.arange(n_clusters))
+    pos = jnp.arange(n) - starts[sorted_a]
+    in_cap = pos < cap
+    xs = xp[order]
+
+    # clustered rows: scatter kept rows at (cluster, pos)
+    dest_c = jnp.where(in_cap, sorted_a, n_clusters)  # OOB drops
+    dest_p = jnp.where(in_cap, pos, 0)
+    clustered = jnp.zeros((n_clusters + 1, cap, d_pad), jnp.float32)
+    clustered = clustered.at[dest_c, dest_p].set(xs, mode="drop")[:-1]
+    cids = jnp.full((n_clusters + 1, cap), -1, jnp.int32)
+    cids = cids.at[dest_c, dest_p].set(
+        order.astype(jnp.int32), mode="drop"
+    )[:-1]
+
+    # spill rows: compact overflow via cumsum positions
+    over_pos = jnp.cumsum(~in_cap) - 1
+    dest_s = jnp.where(~in_cap & (over_pos < spill_cap), over_pos, spill_cap)
+    spill = jnp.zeros((spill_cap + 1, d_pad), jnp.float32)
+    spill = spill.at[dest_s].set(xs, mode="drop")[:-1]
+    sids = jnp.full((spill_cap + 1,), -1, jnp.int32)
+    sids = sids.at[dest_s].set(order.astype(jnp.int32), mode="drop")[:-1]
+    n_over = jnp.sum(~in_cap)
+
+    if metric == "l2":
+        cl_bias = jnp.where(
+            cids >= 0, -0.5 * jnp.sum(clustered**2, -1), NEG_INF
+        )
+        sp_bias = jnp.where(sids >= 0, -0.5 * jnp.sum(spill**2, -1), NEG_INF)
+    else:
+        cl_bias = jnp.where(cids >= 0, 0.0, NEG_INF)
+        sp_bias = jnp.where(sids >= 0, 0.0, NEG_INF)
+
+    cl_scale = sp_scale = None
+    if sq8:
+        amax_c = jnp.maximum(jnp.max(jnp.abs(clustered), -1), 1e-12)
+        cl_scale = jnp.where(cids >= 0, amax_c / 127.0, 1.0)
+        clustered = jnp.clip(
+            jnp.round(clustered / cl_scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        amax_s = jnp.maximum(jnp.max(jnp.abs(spill), -1), 1e-12)
+        sp_scale = jnp.where(sids >= 0, amax_s / 127.0, 1.0)
+        spill = jnp.clip(
+            jnp.round(spill / sp_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+
+    return clustered, cids, cl_bias, spill, sids, sp_bias, cl_scale, \
+        sp_scale, n_over
+
+
 def build_ivf_index(
     embeddings,  # [N, D]
     n_clusters: int,
@@ -125,6 +189,7 @@ def build_ivf_index(
     train_size: int | None = None,  # reference mips_train_size (config :53)
     iters: int = 15,
     seed: int = 0,
+    spill_cap: int | None = None,  # static overflow capacity
 ) -> IVFIndex:
     x = jnp.asarray(embeddings, jnp.float32)
     n, d = x.shape
@@ -141,43 +206,27 @@ def build_ivf_index(
     assign = jnp.argmax(x @ cent.T + cbias[None, :], axis=-1).astype(jnp.int32)
 
     cap = max(8, _round_up(int(alpha * n / n_clusters), 8))
-
-    # Host-side packing (one-time build step; the packed layout is what
-    # lives on device). Mirrors FAISS's invlist construction.
-    a = np.asarray(assign)
-    xh = np.asarray(x)
     d_pad = _round_up(d, 128)
-    clustered = np.zeros((n_clusters, cap, d_pad), np.float32)
-    cids = np.full((n_clusters, cap), -1, np.int32)
-    order = np.argsort(a, kind="stable")
-    sorted_a = a[order]
-    # position of each row within its cluster (vectorized cumcount)
-    starts = np.searchsorted(sorted_a, np.arange(n_clusters))
-    pos = np.arange(n) - starts[sorted_a]
-    in_cap = pos < cap
-    keep, kpos = order[in_cap], pos[in_cap]
-    clustered[sorted_a[in_cap], kpos, :d] = xh[keep]
-    cids[sorted_a[in_cap], kpos] = keep.astype(np.int32)
-    over = order[~in_cap]
+    if spill_cap is None:
+        # exact overflow count (cheap bincount), bucketed to powers of two
+        # so distinct corpora reuse the packing executable
+        counts = jnp.bincount(assign, length=n_clusters)
+        n_over = int(jnp.sum(jnp.maximum(counts - cap, 0)))
+        spill_cap = 64
+        while spill_cap < n_over:
+            spill_cap *= 2
+    sq8 = dtype in ("int8", jnp.int8)
 
-    s = max(8, _round_up(max(1, len(over)), 8))
-    spill = np.zeros((s, d_pad), np.float32)
-    sids = np.full((s,), -1, np.int32)
-    if len(over):
-        spill[: len(over), :d] = xh[over]
-        sids[: len(over)] = over.astype(np.int32)
-
-    if metric == "l2":
-        row_b = lambda rows, valid: np.where(  # noqa: E731
-            valid, -0.5 * (rows**2).sum(-1), NEG_INF
-        ).astype(np.float32)
-    else:
-        row_b = lambda rows, valid: np.where(valid, 0.0, NEG_INF).astype(  # noqa: E731
-            np.float32
+    (clustered, cids, cl_bias, spill, sids, sp_bias, cl_scale, sp_scale,
+     n_over_packed) = _pack_device(
+        x, assign, n_clusters=n_clusters, cap=cap, spill_cap=spill_cap,
+        d_pad=d_pad, metric=metric, sq8=sq8,
+    )
+    if int(n_over_packed) > spill_cap:
+        raise ValueError(
+            f"cluster overflow {int(n_over_packed)} exceeds spill capacity "
+            f"{spill_cap}; raise alpha or spill_cap"
         )
-
-    cl_bias = row_b(clustered, cids >= 0)
-    sp_bias = row_b(spill, sids >= 0)
 
     cent_pad = jnp.zeros((n_clusters, d_pad), jnp.float32).at[:, :d].set(cent)
     if metric == "l2":
@@ -185,37 +234,15 @@ def build_ivf_index(
     else:
         cent_bias = jnp.zeros((n_clusters,), jnp.float32)
 
-    cl_scale = sp_scale = None
-    if dtype in ("int8", jnp.int8):
-        # SQ8 payload (reference "IVF256,SQ8", sotasum/config.yaml:94):
-        # per-row symmetric int8 quantization; scores scale per row.
-        amax_c = np.maximum(np.abs(clustered).max(-1), 1e-12)
-        sc_c = (amax_c / 127.0).astype(np.float32)
-        clustered = np.clip(
-            np.round(clustered / sc_c[..., None]), -127, 127
-        ).astype(np.int8)
-        amax_s = np.maximum(np.abs(spill).max(-1), 1e-12)
-        sc_s = (amax_s / 127.0).astype(np.float32)
-        spill = np.clip(np.round(spill / sc_s[:, None]), -127, 127).astype(
-            np.int8
-        )
-        cl_scale = jnp.asarray(np.where(cids >= 0, sc_c, 1.0))
-        sp_scale = jnp.asarray(np.where(sids >= 0, sc_s, 1.0))
-        clustered_j = jnp.asarray(clustered)
-        spill_j = jnp.asarray(spill)
-    else:
-        clustered_j = jnp.asarray(clustered, dtype)
-        spill_j = jnp.asarray(spill, dtype)
-
     return IVFIndex(
         centroids=cent_pad,
         centroid_bias=cent_bias,
-        clustered=clustered_j,
-        clustered_ids=jnp.asarray(cids),
-        clustered_bias=jnp.asarray(cl_bias),
-        spill=spill_j,
-        spill_ids=jnp.asarray(sids),
-        spill_bias=jnp.asarray(sp_bias),
+        clustered=clustered if sq8 else clustered.astype(dtype),
+        clustered_ids=cids,
+        clustered_bias=cl_bias,
+        spill=spill if sq8 else spill.astype(dtype),
+        spill_ids=sids,
+        spill_bias=sp_bias,
         clustered_scale=cl_scale,
         spill_scale=sp_scale,
         n=n,

@@ -434,7 +434,13 @@ def run_bench_index(cfg):
     ivf = build_ivf_index(x, n_clusters=nc, dtype=dtype,
                           train_size=min(n, 16384), iters=5)
     jax.block_until_ready(ivf.clustered)
-    out["ivf_build_s"] = round(time.perf_counter() - t0, 3)
+    out["ivf_build_cold_s"] = round(time.perf_counter() - t0, 3)
+    # steady-state rebuild (the train-time refresh cost; executables warm)
+    t0 = time.perf_counter()
+    ivf = build_ivf_index(x, n_clusters=nc, dtype=dtype,
+                          train_size=min(n, 16384), iters=5)
+    jax.block_until_ready(ivf.clustered)
+    out["ivf_rebuild_warm_s"] = round(time.perf_counter() - t0, 3)
 
     _, ref = cpu_mips_search(x, q, k)
     _, fi = search(flat, jnp.asarray(q), k=k)

@@ -22,7 +22,6 @@ schema-compatible records.
 from __future__ import annotations
 
 import re
-from typing import Any
 
 import numpy as np
 import pandas as pd

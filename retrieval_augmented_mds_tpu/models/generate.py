@@ -13,8 +13,6 @@ no-repeat-ngram banning (GenerationConfig knobs at config/no_mips.yaml:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

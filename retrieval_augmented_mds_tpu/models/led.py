@@ -22,7 +22,6 @@ from .core import (
     Params,
     attention,
     causal_mask,
-    dense,
     embed,
     embedding_init,
     ffn,

@@ -11,8 +11,6 @@ recall / MRR / MAP.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

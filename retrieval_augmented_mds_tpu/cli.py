@@ -330,6 +330,71 @@ def run_predict(cfg):
     return out
 
 
+def run_fit_baseline(cfg):
+    """Parametric-only baseline fine-tune (reference BartLightning /
+    T5Lightning via main.py fit; sotasum/bart_lightning.py:48-244,
+    t5_lightning.py:48-232). T5 runs get the "summarize: " prompt prefix
+    (data_modules.py:152-155)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .eval import RougeAccumulator
+    from .models.bart import init_bart
+    from .models.t5 import init_t5
+    from .obs import MetricsLogger
+    from .train.baseline import make_seq2seq_train_step, seq2seq_greedy
+    from .train.optimizer import build_optimizer
+    from .train.trainer import TrainState
+
+    family = cfg.baseline
+    assert family in ("bart", "t5"), family
+    if family == "t5" and not cfg.data.source_memory:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data)
+        )
+    dm, tok = build_data(cfg)
+    if family == "t5":
+        dm.prompt_prefix = "summarize: "
+
+    init = init_bart if family == "bart" else init_t5
+    params = init(jax.random.PRNGKey(cfg.seed), cfg.model.led)
+    tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
+                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
+    state = TrainState.create(params, tx)
+    step = make_seq2seq_train_step(
+        family, cfg.model.led, tx, cfg.train.label_smoothing_eps
+    )
+    log = MetricsLogger(cfg.logging.log_dir, f"{cfg.logging.run_name}_{family}")
+    n = 0
+    metrics = {}
+    while n < cfg.max_steps:
+        for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + n):
+            if n >= cfg.max_steps:
+                break
+            db = {
+                "input_ids": jnp.asarray(batch["input_ids"]),
+                "attention_mask": jnp.asarray(batch["attention_mask"]),
+                "labels": jnp.asarray(batch["labels"]),
+            }
+            state, metrics = step(state, db)
+            log.log(n, metrics)
+            n += 1
+    # quick ROUGE probe (reference validation, bart_lightning.py:126-196)
+    acc = RougeAccumulator()
+    batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
+    ids = seq2seq_greedy(
+        family, state.params, cfg.model.led,
+        jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+        max_new_tokens=cfg.generation.max_new_tokens,
+    )
+    acc.add_batch(tok.batch_decode(np.asarray(ids)),
+                  tok.batch_decode(batch["labels"]))
+    out = {k: float(v) for k, v in metrics.items()}
+    out.update(acc.compute())
+    out["steps"] = n
+    return out
+
+
 def run_pretrain_retriever(cfg):
     import jax
     import jax.numpy as jnp
@@ -484,13 +549,14 @@ def main(argv=None):
     )
 
     if args.command == "fit":
+        runner = run_fit_baseline if cfg.baseline else run_fit
         if args.profile:
             from .obs import trace
 
             with trace(os.path.join(cfg.logging.log_dir, "trace")):
-                out = run_fit(cfg)
+                out = runner(cfg)
         else:
-            out = run_fit(cfg)
+            out = runner(cfg)
     elif args.command in ("validate", "test"):
         out = run_validate(cfg)
     elif args.command == "predict":

@@ -77,6 +77,7 @@ class ExperimentConfig:
     max_steps: int = 100
     eval_every: int = 50
     ckpt_dir: str | None = None
+    baseline: str | None = None  # "bart" | "t5" → parametric-only fine-tune
 
 
 _REGISTRY = {

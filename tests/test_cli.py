@@ -71,3 +71,30 @@ def test_fit_resume_from_checkpoint(tmp_path):
                 ckpt_dir=str(tmp_path / "ckpt"))
     out = run_fit(cfg2)
     assert out["steps"] == 3
+
+
+def test_fit_baseline_bart(tmp_path):
+    from retrieval_augmented_mds_tpu.cli import run_fit_baseline
+
+    cfg = _cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "baseline_bart.yaml"),
+        tmp_path, max_steps=3,
+    )
+    out = run_fit_baseline(cfg)
+    assert out["steps"] == 3
+    assert "rouge1" in out
+
+
+def test_fit_baseline_t5(tmp_path):
+    import dataclasses
+
+    from retrieval_augmented_mds_tpu.cli import run_fit_baseline
+
+    cfg = _cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "baseline_bart.yaml"),
+        tmp_path, max_steps=2, baseline="t5",
+    )
+    out = run_fit_baseline(cfg)
+    assert out["steps"] == 2

@@ -134,6 +134,8 @@ class RAGEncoderOutput:
     copy_seq: jax.Array | None  # [B, M]
     mips_scores: jax.Array | None  # [B, slots]
     retrieved_idx: jax.Array | None  # [B, k]
+    faiss_scores: jax.Array | None = None  # [B, k] raw index scores
+    query_cls: jax.Array | None = None  # [B, H] (reference query_cls out)
 
 
 def init_rag(key, cfg: RAGConfig) -> Params:
@@ -194,7 +196,7 @@ def rag_encode(
     enc_mask = batch["attention_mask"]
 
     memory = memory_mask = memory_bias = copy_seq = None
-    mips_scores = idx = None
+    mips_scores = idx = faiss_scores = query_cls = None
 
     if not cfg.mips_disabled and store is not None:
         lf = cfg.query_enc
@@ -205,12 +207,13 @@ def rag_encode(
         query_cls = q_hidden[:, 0].astype(jnp.float32)  # [B, H]
         b = query_cls.shape[0]
         k = cfg.mips_topk
+        faiss_scores = None
 
         if cfg.memory_forcing == "target_only":
             # memory = gold target only (mips.py:412-419); k = 1 slot
             mem_ids = batch["target_memory_ids"][:, None]  # [B, 1, L]
             mem_mask = batch["target_memory_mask"][:, None]
-            idx = None
+            idx = faiss_scores = None
         else:
             q_detached = jax.lax.stop_gradient(query_cls)
             if isinstance(store.index, FlatIndex):
@@ -318,6 +321,8 @@ def rag_encode(
         copy_seq=copy_seq,
         mips_scores=mips_scores,
         retrieved_idx=idx,
+        faiss_scores=faiss_scores,
+        query_cls=query_cls,
     )
 
 

@@ -116,3 +116,26 @@ def test_dual_memory_and_prompt_prefix():
     # prompt prefix tokens prepended to every input
     first = tok("summarize: ", max_length=8)["input_ids"][0]
     assert b["input_ids"][0, 1] == first[1]
+
+
+def test_arxiv_corpus_to_store_arrays():
+    """arXiv corpus loader wires into MemoryStore arrays."""
+    import pandas as pd
+
+    from retrieval_augmented_mds_tpu.data.corpus import load_mips_arxiv
+    from retrieval_augmented_mds_tpu.data.pipeline import (
+        prepare_memory_store_arrays,
+    )
+
+    df = pd.DataFrame(
+        {
+            "abstract": ["alpha @math beta", "alpha @math beta", "gamma"],
+            "index": [0, 1, 2],
+            "aid": ["a0", "a1", "a2"],
+        }
+    )
+    corpus = load_mips_arxiv(df)
+    assert len(corpus) == 2  # dedup after @math substitution
+    tok = HashTokenizer(128)
+    arrays = prepare_memory_store_arrays(corpus, tok, memory_len=16)
+    assert arrays["token_ids"].shape == (2, 16)

@@ -105,3 +105,26 @@ def test_refresh_store_rebuilds_index():
     )
     # and the store's token payload is untouched (double buffer swap)
     assert new.token_ids is store.token_ids
+
+
+def test_double_buffered_refresh_semantics():
+    """Old store stays searchable while/after the new one is built — the
+    stale-tolerance contract of the reference's rebuild protocol
+    (sotasum/lightning_model.py:148-162) in functional form."""
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(9), cfg)
+    store_old = _store(cfg)
+    batch = _batch(cfg)
+
+    from retrieval_augmented_mds_tpu.models.retriever_generator import rag_encode
+
+    enc_before = rag_encode(params, cfg, store_old, batch)
+    store_new = refresh_store(params, cfg, store_old, batch_size=16)
+    # old buffer untouched and still valid
+    enc_after = rag_encode(params, cfg, store_old, batch)
+    assert np.array_equal(
+        np.asarray(enc_before.retrieved_idx), np.asarray(enc_after.retrieved_idx)
+    )
+    # new buffer usable immediately (pointer swap)
+    enc_new = rag_encode(params, cfg, store_new, batch)
+    assert enc_new.retrieved_idx.shape == enc_before.retrieved_idx.shape

@@ -202,7 +202,8 @@ def run_fit(cfg) -> dict[str, Any]:
     best_rouge1 = -1.0
     try:
         while step < cfg.max_steps:
-            for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + step):
+            for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + step,
+                                    split="train"):
                 if step >= cfg.max_steps:
                     break
                 if (
@@ -256,7 +257,10 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
 
     acc = RougeAccumulator()
     outputs = []
-    for bi, batch in enumerate(dm.batches(cfg.data.batch_size, shuffle=False)):
+    for bi, batch in enumerate(
+        dm.batches(cfg.data.batch_size, shuffle=False, drop_last=False,
+                   split="val")
+    ):
         if bi >= max_batches:
             break
         dbatch = _device_batch(batch, cfg)

@@ -229,14 +229,32 @@ class RAGDataModule:
     def corpus_size(self) -> int:
         return len(self.store_arrays["token_ids"])
 
+    def split_indices(self, split: str, seed: int = 0) -> np.ndarray:
+        """Deterministic 80/10/10 train/val/test partition (the reference
+        consumes HF's published splits; the synthetic/flat path derives
+        one reproducibly)."""
+        n = self.n_examples
+        order = np.random.default_rng(seed).permutation(n)
+        n_val = max(1, n // 10) if n >= 3 else 0
+        if split == "train":
+            return order[: n - 2 * n_val] if n_val else order
+        if split == "val":
+            return order[n - 2 * n_val : n - n_val]
+        if split == "test":
+            return order[n - n_val :]
+        raise ValueError(split)
+
     def batches(
         self, batch_size: int, *, shuffle: bool = True, seed: int = 0,
-        drop_last: bool = True,
+        drop_last: bool = True, split: str | None = None,
     ) -> Iterator[dict[str, np.ndarray]]:
-        n = self.n_examples
-        order = np.arange(n)
+        if split is None:
+            order = np.arange(self.n_examples)
+        else:
+            order = self.split_indices(split)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        n = len(order)
         stop = n - (n % batch_size) if drop_last else n
         for i in range(0, stop, batch_size):
             sel = order[i : i + batch_size]

@@ -139,3 +139,15 @@ def test_arxiv_corpus_to_store_arrays():
     tok = HashTokenizer(128)
     arrays = prepare_memory_store_arrays(corpus, tok, memory_len=16)
     assert arrays["token_ids"].shape == (2, 16)
+
+
+def test_split_partition_disjoint_and_complete():
+    df = synthetic_multi_x_science(30)
+    tok = HashTokenizer(512)
+    dm = RAGDataModule(df, tok, tok, max_length=32, query_max_length=16,
+                       decoder_max_length=8, memory_len=16).prepare()
+    tr = set(dm.split_indices("train"))
+    va = set(dm.split_indices("val"))
+    te = set(dm.split_indices("test"))
+    assert not (tr & va) and not (tr & te) and not (va & te)
+    assert tr | va | te == set(range(dm.n_examples))

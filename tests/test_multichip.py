@@ -38,3 +38,72 @@ def test_zero_sharding_specs_cover_state():
     specs = zero_sharding_for_tree(tree, mesh)
     assert specs["w"].spec == P("data", None)
     assert specs["b"].spec == P()
+
+
+def test_data_parallel_loss_matches_single_device():
+    """DP invariance: the sharded train step computes the same loss as the
+    unsharded one on the same global batch."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from retrieval_augmented_mds_tpu.models.retriever_generator import (
+        RAGConfig,
+        init_rag,
+    )
+    from retrieval_augmented_mds_tpu.parallel import MeshSpec
+    from retrieval_augmented_mds_tpu.parallel.mesh import DATA_AXIS
+    from retrieval_augmented_mds_tpu.train.optimizer import build_optimizer
+    from retrieval_augmented_mds_tpu.train.trainer import (
+        TrainHyper,
+        TrainState,
+        make_train_step,
+    )
+    from tests.test_rag_model import _batch, _store
+
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(0), cfg)
+    store = _store(cfg)
+    b1 = _batch(cfg)
+    # widen batch to 4 rows so it shards over data=4
+    batch = {k: jnp.concatenate([v, v], axis=0) for k, v in b1.items()}
+
+    hyper = TrainHyper(lr=1e-3, warmup_steps=1, total_steps=10)
+    tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps)
+
+    mesh = MeshSpec(4, 2).build()
+    from retrieval_augmented_mds_tpu.index import build_flat_index
+
+    emb = np.asarray(store.index.embeddings[: store.index.n].astype(jnp.float32))
+    store_sharded = store.__class__(
+        index=build_flat_index(emb, dtype=jnp.float32, mesh=mesh,
+                               row_align=64),
+        token_ids=store.token_ids,
+        token_mask=store.token_mask,
+        row_aids=None,
+    )
+    sharded_batch = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P(DATA_AXIS, *[None] * (v.ndim - 1)))
+        )
+        for k, v in batch.items()
+    }
+    # device_put copies before step1 donates the original params
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+
+    step1 = make_train_step(cfg, tx, hyper)
+    # deep-copy: device_put's replicated view may alias the device-0
+    # buffer, which step1's donation would delete
+    params1 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    s1 = TrainState.create(params1, tx)
+    _, m1 = step1(s1, store, batch, None)
+
+    step2 = make_train_step(cfg, tx, hyper, mesh=mesh)
+    s2 = TrainState.create(params_r, tx)
+    with mesh:
+        _, m2 = step2(s2, store_sharded, sharded_batch, None)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )

@@ -382,3 +382,117 @@ def load_ivf_index(path: str) -> IVFIndex:
         n=meta["n"], metric=meta["metric"], normalized=meta["normalized"],
         **kw,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded search (clusters partitioned over the shard axis)
+# ---------------------------------------------------------------------------
+
+def shard_ivf_index(index: IVFIndex, mesh) -> IVFIndex:
+    """Place the clustered payload row-sharded over the ``shard`` axis
+    (centroids stay replicated — the coarse scan is one small matmul).
+    Cluster count must divide the shard count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import SHARD_AXIS
+
+    s = mesh.shape[SHARD_AXIS]
+    assert index.n_clusters % s == 0, (index.n_clusters, s)
+    put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))  # noqa: E731
+    return IVFIndex(
+        centroids=put(index.centroids, P()),
+        centroid_bias=put(index.centroid_bias, P()),
+        clustered=put(index.clustered, P(SHARD_AXIS, None, None)),
+        clustered_ids=put(index.clustered_ids, P(SHARD_AXIS, None)),
+        clustered_bias=put(index.clustered_bias, P(SHARD_AXIS, None)),
+        spill=put(index.spill, P()),
+        spill_ids=put(index.spill_ids, P()),
+        spill_bias=put(index.spill_bias, P()),
+        clustered_scale=None if index.clustered_scale is None
+        else put(index.clustered_scale, P(SHARD_AXIS, None)),
+        spill_scale=None if index.spill_scale is None
+        else put(index.spill_scale, P()),
+        n=index.n, metric=index.metric, normalized=index.normalized,
+    )
+
+
+def ivf_search_sharded(
+    index: IVFIndex,
+    queries: jax.Array,  # [B, D]
+    mesh,
+    k: int = 10,
+    nprobe: int = 8,
+):
+    """Probed search over a cluster-partitioned index: every shard probes
+    the subset of the batch's top-nprobe clusters it owns, searches its
+    local gathered payload, and per-shard top-k merge via all_gather over
+    ICI (same merge as the sharded flat index)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import SHARD_AXIS
+    from .flat import _merge_topk
+
+    b, d = queries.shape
+    d_pad = index.dim
+    c = index.n_clusters
+    nprobe = min(nprobe, c)
+    q = queries.astype(jnp.float32)
+    if index.normalized and index.metric == "ip":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    if d != d_pad:
+        q = jnp.zeros((b, d_pad), q.dtype).at[:, :d].set(q)
+
+    cscores = q @ index.centroids.T + index.centroid_bias[None, :]
+    _, probe = jax.lax.top_k(cscores, nprobe)  # [B, nprobe] global ids
+
+    n_shards = mesh.shape[SHARD_AXIS]
+    c_local = c // n_shards
+    cap = min(c_local, b * nprobe)
+
+    def local(probe, clustered, cids, cbias, cscale):
+        sid = jax.lax.axis_index(SHARD_AXIS)
+        lo = sid * c_local
+        mine = (probe - lo).reshape(-1)  # local ids; out-of-range → not mine
+        flat = jnp.where((mine >= 0) & (mine < c_local), mine, c_local)
+        union = _union_pad(flat, cap, sentinel=c_local)
+        ok = union < c_local
+        safe = jnp.where(ok, union, 0)
+        sub = jnp.take(clustered, safe, axis=0)
+        sub_ids = jnp.take(cids, safe, axis=0)
+        sub_bias = jnp.where(
+            ok[:, None], jnp.take(cbias, safe, axis=0), NEG_INF
+        )
+        L = sub.shape[1]
+        corpus = sub.reshape(cap * L, d_pad)
+        bias = sub_bias.reshape(-1)
+        scale = None
+        if cscale is not None:
+            scale = jnp.take(cscale, safe, axis=0).reshape(-1)
+        vals, pos = mips_topk(q, corpus, k, bias, None, scale)
+        ids = jnp.take(sub_ids.reshape(-1), jnp.maximum(pos, 0))
+        ids = jnp.where(pos >= 0, ids, -1)
+        vals_s = jax.lax.all_gather(vals, SHARD_AXIS)
+        ids_s = jax.lax.all_gather(ids, SHARD_AXIS)
+        return _merge_topk(vals_s, ids_s, k)
+
+    scale_spec = None if index.clustered_scale is None else P(SHARD_AXIS, None)
+    vals, ids = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(SHARD_AXIS, None, None),
+                  P(SHARD_AXIS, None), P(SHARD_AXIS, None), scale_spec),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(probe, index.clustered, index.clustered_ids, index.clustered_bias,
+      index.clustered_scale)
+
+    # spill buffer searched once (replicated, tiny) and merged in
+    s_vals, s_pos = mips_topk(
+        q, index.spill, min(k, index.spill.shape[0]), index.spill_bias,
+        None, index.spill_scale,
+    )
+    s_ids = jnp.where(s_pos >= 0, index.spill_ids[jnp.maximum(s_pos, 0)], -1)
+    all_vals = jnp.concatenate([vals, s_vals], axis=1)
+    all_ids = jnp.concatenate([ids, s_ids], axis=1)
+    top_vals, sel = jax.lax.top_k(all_vals, k)
+    return top_vals, jnp.take_along_axis(all_ids, sel, axis=1)

@@ -165,3 +165,38 @@ def test_ivf_save_load_roundtrip(tmp_path):
         v2, i2 = ivf_search(idx2, jnp.asarray(q), k=5, nprobe=4)
         assert np.array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_sharded_ivf_matches_unsharded():
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 simulated devices")
+    from retrieval_augmented_mds_tpu.index.ivf import (
+        ivf_search_sharded,
+        shard_ivf_index,
+    )
+    from retrieval_augmented_mds_tpu.parallel import MeshSpec
+
+    mesh = MeshSpec(1, 8).build()
+    x = _clustered_data(n=4096, d=64, n_true=32, seed=14)
+    rng = np.random.default_rng(15)
+    q = x[rng.integers(0, len(x), 8)] + 0.05 * rng.standard_normal(
+        (8, 64)
+    ).astype(np.float32)
+
+    idx = build_ivf_index(x, n_clusters=32, dtype=jnp.float32, seed=5)
+    v_ref, i_ref = ivf_search(idx, jnp.asarray(q), k=10, nprobe=8)
+
+    sharded = shard_ivf_index(idx, mesh)
+    v_s, i_s = ivf_search_sharded(sharded, jnp.asarray(q), mesh, k=10,
+                                  nprobe=8)
+    assert np.array_equal(
+        np.sort(np.asarray(i_ref), -1), np.sort(np.asarray(i_s), -1)
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v_ref), -1), np.sort(np.asarray(v_s), -1),
+        rtol=1e-5,
+    )

@@ -247,7 +247,7 @@ def run_fit(cfg) -> dict[str, Any]:
 
 
 def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
-                  dump_name: str | None = None):
+                  dump_name: str | None = None, split: str = "val"):
     """Generate + ROUGE (reference validation path,
     sotasum/lightning_model.py:327-398); optional per-epoch output dump
     (lightning_model.py:383-389)."""
@@ -259,7 +259,7 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
     outputs = []
     for bi, batch in enumerate(
         dm.batches(cfg.data.batch_size, shuffle=False, drop_last=False,
-                   split="val")
+                   split=split)
     ):
         if bi >= max_batches:
             break
@@ -281,7 +281,7 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
     return acc.compute()
 
 
-def run_validate(cfg):
+def run_validate(cfg, split: str = "val"):
     import jax
 
     from .models.retriever_generator import init_rag
@@ -305,7 +305,7 @@ def run_validate(cfg):
 
     return run_eval_loop(
         cfg, params, store, dm, tok,
-        dump_name=f"test_outputs_{int(_t.time())}",
+        dump_name=f"{split}_outputs_{int(_t.time())}", split=split,
     )
 
 
@@ -562,7 +562,9 @@ def main(argv=None):
         else:
             out = runner(cfg)
     elif args.command in ("validate", "test"):
-        out = run_validate(cfg)
+        out = run_validate(
+            cfg, split="test" if args.command == "test" else "val"
+        )
     elif args.command == "predict":
         out = run_predict(cfg)
     elif args.command == "pretrain-retriever":

@@ -98,3 +98,16 @@ def test_fit_baseline_t5(tmp_path):
     )
     out = run_fit_baseline(cfg)
     assert out["steps"] == 2
+
+
+def test_fit_with_ivf_factory(tmp_path):
+    """End-to-end fit through the IVF factory path (IVF16,Flat)."""
+    import dataclasses
+
+    cfg = _cfg(CFG, tmp_path, max_steps=2, eval_every=0)
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, factory="IVF8,Flat",
+                                       rebuild_every=2),
+    )
+    out = run_fit(cfg)
+    assert out["steps"] == 2

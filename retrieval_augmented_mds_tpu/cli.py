@@ -106,6 +106,8 @@ def build_store(params, cfg, dm, mesh=None):
     emb = encode_corpus(
         params["mips_encoder"], cfg.model.mips_enc, ids, mask,
         batch_size=min(64, ids.shape[0]),
+        dtype=jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32,
+        mesh=mesh,
     )
     index = build_index_from_factory(
         emb, cfg.index.factory, metric=cfg.index.metric,
@@ -131,7 +133,8 @@ def _device_batch(batch, cfg):
         if k in (
             "input_ids", "attention_mask", "query_input_ids",
             "query_attention_mask", "labels", "mips_ignore", "gold_aid",
-            "aid_counts",
+            "aid_counts", "target_memory_ids", "target_memory_mask",
+            "input_memory_ids", "input_memory_mask", "input_memory_count",
         )
     }
     out["decoder_input_ids"] = shift_tokens_right(

@@ -122,6 +122,7 @@ def prepare_rag_examples(
             row_of.setdefault(int(ex), []).append(rid)
     ignore = [row_of.get(int(i), []) for i in df["index"]]
 
+    tgt_mem = tokenizer(targets, max_length=memory_len)
     out = {
         "input_ids": enc["input_ids"],
         "attention_mask": enc["attention_mask"],
@@ -130,6 +131,10 @@ def prepare_rag_examples(
         "labels": tgt["input_ids"],
         "mips_ignore": _pad_lists(ignore, max_ignore),
         "aid_counts": df["aid_counts"].to_numpy(np.int32),
+        # memory-forcing payload (target text at memory length;
+        # reference target_only/target_in modes, mips.py:412-439)
+        "target_memory_ids": tgt_mem["input_ids"],
+        "target_memory_mask": tgt_mem["attention_mask"],
     }
     if aid_vocab is not None:
         out["gold_aid"] = np.asarray(

@@ -111,3 +111,17 @@ def test_fit_with_ivf_factory(tmp_path):
     )
     out = run_fit(cfg)
     assert out["steps"] == 2
+
+
+def test_fit_with_target_in_memory_forcing(tmp_path):
+    import dataclasses
+
+    cfg = _cfg(CFG, tmp_path, max_steps=2, eval_every=0)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, memory_forcing="target_in", copy_forcing=1.0
+        ),
+    )
+    out = run_fit(cfg)
+    assert out["steps"] == 2

@@ -83,6 +83,7 @@ def build_data(cfg):
         memory_len=d.memory_len,
         source_memory=d.source_memory,
         doc_sep=d.doc_sep,
+        dual_memory=d.dataset_mode == "dual",
     ).prepare()
     if d.mips_db_max_size:
         # corpus truncation (reference mips_db_max_size, mips.py:184-185)
@@ -447,7 +448,33 @@ def run_pretrain_retriever(cfg):
         export_encoders(
             os.path.join(cfg.ckpt_dir, "encoders.npz"), state.params
         )
-    return {k: float(v) for k, v in metrics.items()}
+    out = {k: float(v) for k, v in metrics.items()}
+
+    # full-KB validation (reference on_validation_start + validation_step,
+    # sotasum/retriever_lightning.py:339-416): every positive is its own
+    # gold document; rank it among the whole encoded pair corpus
+    from .retriever.validate import validate_retriever
+
+    n_eval = min(n, 128)
+    corpus = {
+        "token_ids": np.asarray(pairs["mips_input_ids"][:n_eval]),
+        "token_mask": np.asarray(pairs["mips_attention_mask"][:n_eval]),
+    }
+    row_aids = np.arange(n_eval, dtype=np.int32)[:, None]
+    queries = {
+        "query_input_ids": np.asarray(pairs["query_input_ids"][:n_eval]),
+        "query_attention_mask": np.asarray(
+            pairs["query_attention_mask"][:n_eval]
+        ),
+    }
+    vm = validate_retriever(
+        state.params, rcfg.query_enc, rcfg.mips_enc, corpus, row_aids,
+        queries, gold_aid=np.arange(n_eval, dtype=np.int32),
+        gold_counts=np.ones(n_eval, np.int32),
+        k=min(10, n_eval),
+    )
+    out.update({f"val_{k_}": v for k_, v in vm.items()})
+    return out
 
 
 def run_build_index(cfg, out_dir: str):

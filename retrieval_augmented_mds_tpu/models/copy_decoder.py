@@ -128,6 +128,23 @@ def init_copy_decoder(
     }
 
 
+def precompute_copy_kv(params: Params, memory: jax.Array, n_heads: int):
+    """Per-layer memory K/V for Head A — computed once per generation
+    (the memory is fixed across decode steps; reprojecting [B, M, H]
+    every token dominates small-batch decode)."""
+    from .core import _split_heads
+
+    out = []
+    for lp in params["layers"]:
+        out.append(
+            (
+                _split_heads(dense(lp["cross_attn"]["k"], memory), n_heads),
+                _split_heads(dense(lp["cross_attn"]["v"], memory), n_heads),
+            )
+        )
+    return out
+
+
 def _biased_cross_attention(
     lp: Params,
     x: jax.Array,  # [B, T, H]
@@ -135,6 +152,7 @@ def _biased_cross_attention(
     memory_mask: jax.Array,  # [B, M] {0,1}
     memory_bias: jax.Array,  # [B, M] retrieval scores
     n_heads: int,
+    kv=None,  # optional precomputed (k, v) head tensors
 ):
     """Single cross-attn with score-biased logits; returns (out, weights).
 
@@ -145,8 +163,13 @@ def _biased_cross_attention(
 
     dh = lp["cross_attn"]["q"]["kernel"].shape[1] // n_heads
     q = _split_heads(dense(lp["cross_attn"]["q"], x), n_heads)
-    k = _split_heads(dense(lp["cross_attn"]["k"], memory), n_heads)
-    v = _split_heads(dense(lp["cross_attn"]["v"], memory), n_heads)
+    if kv is not None:
+        k, v = kv
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+    else:
+        k = _split_heads(dense(lp["cross_attn"]["k"], memory), n_heads)
+        v = _split_heads(dense(lp["cross_attn"]["v"], memory), n_heads)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(dh))
@@ -170,6 +193,7 @@ def copy_decoder_forward(
     n_heads: int = 1,
     gates_mode: str = "both",
     skip_residual: bool = False,
+    copy_kv=None,  # optional per-layer precomputed memory K/V
 ):
     """Returns (gen_gate [B,T,1], copy_gate [B,T,1], copy_probs [B,T,M]).
 
@@ -178,9 +202,10 @@ def copy_decoder_forward(
     """
     x = decoder_hidden
     attn_out, align = None, None
-    for lp in params["layers"]:
+    for li, lp in enumerate(params["layers"]):
         attn_out, align = _biased_cross_attention(
-            lp, x, memory, memory_mask, memory_bias, n_heads
+            lp, x, memory, memory_mask, memory_bias, n_heads,
+            kv=None if copy_kv is None else copy_kv[li],
         )
         x = layernorm(lp["cross_ln"], x + attn_out)
         f = ffn(lp["ffn"], x)

@@ -96,11 +96,11 @@ def generate(
     return _beam(params, cfg, enc_out, opts, dtype)
 
 
-def _step_fn(params, cfg, dtype):
+def _step_fn(params, cfg, dtype, copy_kv=None):
     def step(enc_out, tok, caches, pos):
         out, _, caches = rag_decode(
             params, cfg, enc_out, tok[:, None], caches=caches,
-            pos_offset=pos, dtype=dtype,
+            pos_offset=pos, dtype=dtype, copy_kv=copy_kv,
         )
         out = out[:, 0]  # [B, V]
         if cfg.mips_disabled or enc_out.memory is None:
@@ -121,11 +121,21 @@ def _init_caches(params, cfg, b, t_max, dtype, enc_hidden=None):
     )
 
 
+def _copy_kv(params, cfg, enc_out, dtype):
+    if cfg.mips_disabled or enc_out.memory is None or not cfg.use_own_decoder:
+        return None
+    from .copy_decoder import precompute_copy_kv
+
+    return precompute_copy_kv(
+        params["copy_head"], enc_out.memory.astype(dtype), cfg.copy_heads
+    )
+
+
 def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
     b = enc_out.enc_hidden.shape[0]
     t_max = opts.max_new_tokens
     pad, eos = cfg.led.pad_id, cfg.led.eos_id
-    step = _step_fn(params, cfg, dtype)
+    step = _step_fn(params, cfg, dtype, _copy_kv(params, cfg, enc_out, dtype))
     caches = _init_caches(
         params, cfg, b, t_max + 1, dtype, enc_hidden=enc_out.enc_hidden
     )
@@ -164,11 +174,11 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
     bb = b * beams
     t_max = opts.max_new_tokens
     pad, eos = cfg.led.pad_id, cfg.led.eos_id
-    step = _step_fn(params, cfg, dtype)
 
     # beam-expand encoder outputs + memory (reference index_select at
     # retriever_generator.py:314-334)
     enc_out = RAGEncoderOutput(**_expand_beams(dataclasses.asdict(enc_out), beams))
+    step = _step_fn(params, cfg, dtype, _copy_kv(params, cfg, enc_out, dtype))
     caches = _init_caches(
         params, cfg, bb, t_max + 1, dtype, enc_hidden=enc_out.enc_hidden
     )

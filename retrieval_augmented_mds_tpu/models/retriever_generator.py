@@ -336,6 +336,7 @@ def rag_decode(
     pos_offset=0,
     dtype=jnp.float32,
     remat: bool = False,
+    copy_kv=None,  # per-layer precomputed copy-head memory K/V
 ):
     """Decoder + copy head → (log_probs_or_logits [B, T, V], aux, caches).
 
@@ -357,7 +358,7 @@ def rag_decode(
             params["copy_head"], hid, enc_out.memory.astype(hid.dtype),
             enc_out.memory_mask, enc_out.memory_bias,
             n_heads=cfg.copy_heads, gates_mode=cfg.gates_mode,
-            skip_residual=cfg.skip_residual,
+            skip_residual=cfg.skip_residual, copy_kv=copy_kv,
         )
         lm_logits = led_lm_logits(params["led"], hid)
         out = mix_copy_probs(lm_logits, gen_gate, copy_probs, enc_out.copy_seq)

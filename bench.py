@@ -28,12 +28,13 @@ def main():
     from retrieval_augmented_mds_tpu.ops import mips_topk
     from retrieval_augmented_mds_tpu.utils.cpu_baseline import cpu_mips_search
 
-    N, D, B, K = 131072, 768, 256, 10
+    on_tpu = jax.default_backend() == "tpu"
+    # off-TPU the kernel runs in interpret mode — keep the corpus tiny so
+    # the benchmark still terminates (numbers are then not meaningful)
+    N, D, B, K = (131072, 768, 256, 10) if on_tpu else (2048, 64, 16, 10)
     rng = np.random.default_rng(0)
     corpus = rng.standard_normal((N, D)).astype(np.float32)
     queries = rng.standard_normal((B, D)).astype(np.float32)
-
-    on_tpu = jax.default_backend() == "tpu"
     ej = jnp.asarray(corpus, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
 
     # --- recall@10 parity vs CPU flat truth ------------------------------

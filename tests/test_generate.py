@@ -93,3 +93,46 @@ def test_copy_trace():
     assert tr["top_mem_tok"].shape == (2, 5, 4)
     g = np.asarray(tr["copy_gate"])
     assert (g >= 0).all() and (g <= 1).all()
+
+
+def test_beam_score_at_least_greedy():
+    """Sequence log-prob of the beam-4 output >= greedy output's."""
+    cfg = RAGConfig.tiny(mips_disabled=True)
+    params = init_rag(jax.random.PRNGKey(11), cfg)
+    batch = _batch(cfg)
+    enc = rag_encode(params, cfg, None, batch)
+
+    import jax.numpy as jnp
+
+    from retrieval_augmented_mds_tpu.models.led import shift_tokens_right
+    from retrieval_augmented_mds_tpu.models.retriever_generator import rag_decode
+
+    def seq_logprob(ids):
+        dec_in = shift_tokens_right(ids, cfg.led.pad_id, 2)
+        out, _, _ = rag_decode(params, cfg, enc, dec_in)
+        lp = jax.nn.log_softmax(out, -1)
+        tok_lp = jnp.take_along_axis(lp, ids[..., None], -1)[..., 0]
+        mask = ids != cfg.led.pad_id
+        return np.asarray((tok_lp * mask).sum(-1))
+
+    g = generate(params, cfg, enc, GenerationOptions(max_new_tokens=8,
+                                                     min_length=8))
+    b = generate(params, cfg, enc,
+                 GenerationOptions(max_new_tokens=8, num_beams=4,
+                                   min_length=8))
+    assert (seq_logprob(b) >= seq_logprob(g) - 1e-3).all()
+
+
+def test_copy_distribution_diagnostics():
+    from retrieval_augmented_mds_tpu.models.copy_decoder import (
+        copy_distribution_over_vocab,
+    )
+
+    rng = np.random.default_rng(12)
+    b, t, m, v = 2, 3, 8, 32
+    cp = rng.random((b, t, m)).astype(np.float32)
+    cs = rng.integers(0, v, (b, m)).astype(np.int32)
+    out = np.asarray(
+        copy_distribution_over_vocab(jnp.asarray(cp), jnp.asarray(cs), v)
+    )
+    np.testing.assert_allclose(out.sum(-1), cp.sum(-1), rtol=1e-5)

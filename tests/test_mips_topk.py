@@ -147,3 +147,22 @@ def test_edge_all_ignored_rows_return_minus_one():
     ignore = jnp.asarray(np.arange(8, dtype=np.int32)[None, :])
     vals, idx = mips_topk(jnp.asarray(q), jnp.asarray(e), 3, None, ignore)
     assert (np.asarray(idx) == -1).all()
+
+
+def test_l2_with_sq8_payload():
+    """L2 metric composed with int8 quantization (bias post-scale)."""
+    from retrieval_augmented_mds_tpu.ops.mips_topk import quantize_corpus_sq8
+
+    rng = np.random.default_rng(14)
+    n, d, b, k = 2048, 64, 6, 8
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q8, s8 = quantize_corpus_sq8(jnp.asarray(e))
+    bias = -0.5 * (e * e).sum(-1)
+
+    d2 = ((q[:, None] - e[None]) ** 2).sum(-1)
+    ref = np.argsort(d2, -1)[:, :k]
+    _, idx = mips_topk(jnp.asarray(q), q8, k, jnp.asarray(bias), None, s8)
+    idx = np.asarray(idx)
+    hits = sum(len(set(idx[i]) & set(ref[i])) for i in range(b))
+    assert hits / (b * k) >= 0.9

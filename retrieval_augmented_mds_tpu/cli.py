@@ -49,12 +49,18 @@ def build_mesh(cfg):
     return best_mesh(n)
 
 
-def build_data(cfg):
+def build_data(cfg, prompt_prefix: str = ""):
     from .data import RAGDataModule, load_tokenizer, synthetic_multi_x_science
 
     d = cfg.data
     if d.source == "synthetic":
         df = synthetic_multi_x_science(d.n_synthetic)
+    elif d.source == "fixture" or d.source.endswith((".json", ".json.gz")):
+        # committed real-schema fixture (offline stand-in for the HF
+        # dataset; tools/make_fixture.py)
+        from .data.corpus import load_fixture
+
+        df = load_fixture(None if d.source == "fixture" else d.source)
     else:
         from .data.corpus import load_multi_x_science
 
@@ -71,9 +77,9 @@ def build_data(cfg):
 
         df = aggregate_by_aid(df)
     tok = load_tokenizer(d.tokenizer, vocab_size=cfg.model.led.vocab_size,
-                         doc_sep=d.doc_sep)
+                         doc_sep=d.doc_sep, fallback=d.tokenizer_fallback)
     qtok = load_tokenizer(d.tokenizer, vocab_size=cfg.model.query_enc.vocab_size,
-                          doc_sep=d.doc_sep)
+                          doc_sep=d.doc_sep, fallback=d.tokenizer_fallback)
     dm = RAGDataModule(
         df, tok, qtok,
         corpus_column=d.corpus_column,
@@ -84,6 +90,8 @@ def build_data(cfg):
         source_memory=d.source_memory,
         doc_sep=d.doc_sep,
         dual_memory=d.dataset_mode == "dual",
+        prompt_prefix=prompt_prefix,
+        cache_dir=d.cache_dir,
     ).prepare()
     if d.mips_db_max_size:
         # corpus truncation (reference mips_db_max_size, mips.py:184-185)
@@ -92,9 +100,14 @@ def build_data(cfg):
     return dm, tok
 
 
-def build_store(params, cfg, dm, mesh=None):
-    """Initial index build: embed the tokenized corpus under the current
-    mips encoder, then construct the configured index."""
+def build_store(params, cfg, dm=None, mesh=None, *, token_ids=None,
+                token_mask=None, row_aids=None):
+    """Embed the tokenized corpus under the current mips encoder and build
+    the configured index. This is the ONE build path: the initial build
+    (from ``dm``) and the train-time refresh (from an existing store's
+    token arrays) run the same code with the same precision/batch config,
+    so a refresh is bit-identical to a fresh build under equal params
+    (reference rebuild protocol, SURVEY.md §3.2)."""
     import jax.numpy as jnp
 
     from .index import build_index_from_factory
@@ -102,11 +115,14 @@ def build_store(params, cfg, dm, mesh=None):
     from .train.trainer import encode_corpus
 
     jnp_dtype = jnp.bfloat16 if cfg.index.dtype == "bfloat16" else jnp.float32
-    ids = jnp.asarray(dm.store_arrays["token_ids"])
-    mask = jnp.asarray(dm.store_arrays["token_mask"])
+    if dm is not None:
+        token_ids = jnp.asarray(dm.store_arrays["token_ids"])
+        token_mask = jnp.asarray(dm.store_arrays["token_mask"])
+        aids = dm.store_arrays.get("row_aids")
+        row_aids = jnp.asarray(aids) if aids is not None else None
     emb = encode_corpus(
-        params["mips_encoder"], cfg.model.mips_enc, ids, mask,
-        batch_size=min(64, ids.shape[0]),
+        params["mips_encoder"], cfg.model.mips_enc, token_ids, token_mask,
+        batch_size=min(64, token_ids.shape[0]),
         dtype=jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32,
         mesh=mesh,
     )
@@ -115,11 +131,9 @@ def build_store(params, cfg, dm, mesh=None):
         normalize=cfg.index.normalize, dtype=jnp_dtype, mesh=mesh,
         train_size=cfg.index.train_size, seed=cfg.seed,
     )
-    aids = dm.store_arrays.get("row_aids")
     return MemoryStore(
-        index=index, token_ids=ids, token_mask=mask,
-        row_aids=jnp.asarray(aids) if aids is not None else None,
-        nprobe=cfg.index.nprobe,
+        index=index, token_ids=token_ids, token_mask=token_mask,
+        row_aids=row_aids, nprobe=cfg.index.nprobe,
     )
 
 
@@ -148,36 +162,40 @@ def _device_batch(batch, cfg):
 # subcommands
 # ---------------------------------------------------------------------------
 
+def build_tx(cfg, params):
+    """The ONE optimizer construction — fit and every checkpoint-loading
+    command must build the same transformation tree, or the saved
+    opt_state won't restore."""
+    from .train.optimizer import build_optimizer
+
+    frozen = tuple(cfg.train.frozen_groups) + cfg.model.frozen_groups()
+    return build_optimizer(
+        cfg.train.lr, cfg.train.warmup_steps, cfg.train.total_steps,
+        weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
+        frozen_groups=frozen, params=params,
+        accumulate_steps=cfg.train.accumulate_steps,
+    )
+
+
 def run_fit(cfg) -> dict[str, Any]:
     import jax
 
-    from .models.retriever_generator import init_rag
+    from .models.retriever_generator import init_rag_pretrained
     from .obs import MetricsLogger, TeamsNotifier
-    from .train.optimizer import build_optimizer
-    from .train.trainer import (
-        TrainState,
-        make_train_step,
-        refresh_store,
-    )
+    from .train.trainer import TrainState, make_train_step
     from .utils.checkpoint import save_train_state
     from .utils.config import save_config
 
     mesh = build_mesh(cfg)
     dm, tok = build_data(cfg)
-    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
     store = (
         None if cfg.model.mips_disabled else build_store(params, cfg, dm, mesh)
     )
 
     import jax.numpy as jnp
 
-    frozen = tuple(cfg.train.frozen_groups) + cfg.model.frozen_groups()
-    tx = build_optimizer(
-        cfg.train.lr, cfg.train.warmup_steps, cfg.train.total_steps,
-        weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
-        frozen_groups=frozen, params=params,
-        accumulate_steps=cfg.train.accumulate_steps,
-    )
+    tx = build_tx(cfg, params)
     state = TrainState.create(params, tx)
     start_step = 0
     if cfg.ckpt_dir and os.path.exists(
@@ -216,9 +234,14 @@ def run_fit(cfg) -> dict[str, Any]:
                     and step > 0
                     and step % cfg.index.rebuild_every == 0
                 ):
-                    # double-buffered refresh (SURVEY.md §3.2 equivalent)
-                    store = refresh_store(
-                        state.params, cfg.model, store, mesh=mesh
+                    # double-buffered refresh (SURVEY.md §3.2 equivalent):
+                    # the SAME embed+build path as the initial build, so
+                    # precision/factory/train_size cannot drift
+                    store = build_store(
+                        state.params, cfg, mesh=mesh,
+                        token_ids=store.token_ids,
+                        token_mask=store.token_mask,
+                        row_aids=store.row_aids,
                     )
                 dbatch = _device_batch(batch, cfg)
                 force = (
@@ -233,7 +256,8 @@ def run_fit(cfg) -> dict[str, Any]:
                 log.log(step, metrics)
                 step += 1
                 if cfg.eval_every and step % cfg.eval_every == 0:
-                    ev = run_eval_loop(cfg, state.params, store, dm, tok)
+                    ev = run_eval_loop(cfg, state.params, store, dm, tok,
+                                       max_batches=cfg.eval_max_batches)
                     log.log(step, ev, prefix="val_")
                     # checkpoint on max rouge1 (reference ModelCheckpoint
                     # monitor, config/no_mips.yaml:27-33)
@@ -250,11 +274,13 @@ def run_fit(cfg) -> dict[str, Any]:
     return out
 
 
-def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
+def run_eval_loop(cfg, params, store, dm, tok, max_batches: int | None = None,
                   dump_name: str | None = None, split: str = "val"):
-    """Generate + ROUGE (reference validation path,
-    sotasum/lightning_model.py:327-398); optional per-epoch output dump
-    (lightning_model.py:383-389)."""
+    """Generate + ROUGE over the FULL split (reference validation/test
+    epochs iterate the whole dataloader, sotasum/lightning_model.py:327-398);
+    optional per-epoch output dump (lightning_model.py:383-389).
+    ``max_batches`` caps the epoch (reference limit_val_batches,
+    no_mips.yaml:46-49); None = every batch of the split."""
     from .eval import RougeAccumulator
     from .models.generate import generate
     from .models.retriever_generator import rag_encode
@@ -265,13 +291,22 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
         dm.batches(cfg.data.batch_size, shuffle=False, drop_last=False,
                    split=split)
     ):
-        if bi >= max_batches:
+        if max_batches is not None and bi >= max_batches:
             break
+        # pad the ragged tail batch to the static batch size (one compiled
+        # shape for the whole epoch; reference just runs the smaller batch)
+        n_real = len(batch["input_ids"])
+        if n_real < cfg.data.batch_size:
+            reps = cfg.data.batch_size - n_real
+            batch = {
+                k: np.concatenate([v, np.repeat(v[:1], reps, axis=0)])
+                for k, v in batch.items()
+            }
         dbatch = _device_batch(batch, cfg)
         enc = rag_encode(params, cfg.model, store, dbatch)
         ids = generate(params, cfg.model, enc, cfg.generation)
-        preds = tok.batch_decode(np.asarray(ids))
-        refs = tok.batch_decode(np.asarray(batch["labels"]))
+        preds = tok.batch_decode(np.asarray(ids))[:n_real]
+        refs = tok.batch_decode(np.asarray(batch["labels"]))[:n_real]
         acc.add_batch(preds, refs)
         outputs.extend(
             {"prediction": p, "reference": r} for p, r in zip(preds, refs)
@@ -288,20 +323,17 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int = 2,
 def run_validate(cfg, split: str = "val"):
     import jax
 
-    from .models.retriever_generator import init_rag
+    from .models.retriever_generator import init_rag_pretrained
     from .utils.checkpoint import load_train_state
 
     dm, tok = build_data(cfg)
-    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
     if cfg.ckpt_dir and os.path.exists(
         os.path.join(cfg.ckpt_dir, "latest.json")
     ):
-        from .train.optimizer import build_optimizer
         from .train.trainer import TrainState
 
-        tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
-                             cfg.train.total_steps)
-        like = TrainState.create(params, tx)
+        like = TrainState.create(params, build_tx(cfg, params))
         state, _ = load_train_state(cfg.ckpt_dir, like)
         params = state.params
     store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
@@ -317,10 +349,10 @@ def run_predict(cfg):
     import jax
 
     from .models.generate import copy_trace, generate
-    from .models.retriever_generator import init_rag, rag_encode
+    from .models.retriever_generator import init_rag_pretrained, rag_encode
 
     dm, tok = build_data(cfg)
-    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
     store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
     batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
     dbatch = _device_batch(batch, cfg)
@@ -356,13 +388,11 @@ def run_fit_baseline(cfg):
 
     family = cfg.baseline
     assert family in ("bart", "t5"), family
-    if family == "t5" and not cfg.data.source_memory:
-        cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data)
-        )
-    dm, tok = build_data(cfg)
-    if family == "t5":
-        dm.prompt_prefix = "summarize: "
+    # T5 prompt prefix must be set BEFORE tokenization
+    # (reference data_modules.py:152-155)
+    dm, tok = build_data(
+        cfg, prompt_prefix="summarize: " if family == "t5" else ""
+    )
 
     init = init_bart if family == "bart" else init_t5
     params = init(jax.random.PRNGKey(cfg.seed), cfg.model.led)
@@ -387,16 +417,36 @@ def run_fit_baseline(cfg):
             state, metrics = step(state, db)
             log.log(n, metrics)
             n += 1
-    # quick ROUGE probe (reference validation, bart_lightning.py:126-196)
+    # full validation epoch: generate + ROUGE over the whole val split
+    # (reference validation loop, bart_lightning.py:126-196)
     acc = RougeAccumulator()
-    batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
-    ids = seq2seq_greedy(
-        family, state.params, cfg.model.led,
-        jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
-        max_new_tokens=cfg.generation.max_new_tokens,
-    )
-    acc.add_batch(tok.batch_decode(np.asarray(ids)),
-                  tok.batch_decode(batch["labels"]))
+    outputs = []
+    for bi, batch in enumerate(
+        dm.batches(cfg.data.batch_size, shuffle=False, drop_last=False,
+                   split="val")
+    ):
+        if cfg.eval_max_batches is not None and bi >= cfg.eval_max_batches:
+            break
+        n_real = len(batch["input_ids"])
+        if n_real < cfg.data.batch_size:
+            reps = cfg.data.batch_size - n_real
+            batch = {
+                k: np.concatenate([v, np.repeat(v[:1], reps, axis=0)])
+                for k, v in batch.items()
+            }
+        ids = seq2seq_greedy(
+            family, state.params, cfg.model.led,
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            max_new_tokens=cfg.generation.max_new_tokens,
+        )
+        preds = tok.batch_decode(np.asarray(ids))[:n_real]
+        refs = tok.batch_decode(batch["labels"])[:n_real]
+        acc.add_batch(preds, refs)
+        outputs.extend(
+            {"prediction": p, "reference": r} for p, r in zip(preds, refs)
+        )
+    log.dump_outputs(f"baseline_{family}_val_outputs", outputs)
     out = {k: float(v) for k, v in metrics.items()}
     out.update(acc.compute())
     out["steps"] = n
@@ -415,9 +465,37 @@ def run_pretrain_retriever(cfg):
     from .utils.checkpoint import export_encoders
 
     rcfg = RetrieverConfig(
-        query_enc=cfg.model.query_enc, mips_enc=cfg.model.mips_enc
+        query_enc=cfg.model.query_enc, mips_enc=cfg.model.mips_enc,
+        temperature=cfg.retriever.temperature,
+        pooling_dim=cfg.retriever.pooling_dim,
+        token_loss=cfg.retriever.token_loss,
     )
     params = init_retriever(jax.random.PRNGKey(cfg.seed), rcfg)
+    # pretrained dual-encoder init (reference builds the retriever from
+    # query_model_name/mips_model_name Longformers,
+    # sotasum/retriever_lightning.py:102-140)
+    for field, group, enc_cfg in (
+        ("query_encoder_weights", "query_encoder", rcfg.query_enc),
+        ("mips_encoder_weights", "mips_encoder", rcfg.mips_enc),
+    ):
+        name = getattr(cfg.model, field)
+        if name:
+            import warnings
+
+            from .models.hf_import import load_encoder_from_pretrained
+
+            try:
+                params[group] = load_encoder_from_pretrained(
+                    name, enc_cfg, adapter_name=cfg.model.adapter_name
+                )
+                print(f"[weights] {group} <- {name}")
+            except Exception as e:  # noqa: BLE001
+                if os.path.exists(name):
+                    raise
+                warnings.warn(
+                    f"[weights] SKIPPING {field}={name!r}: "
+                    f"{type(e).__name__}: {e}", stacklevel=2,
+                )
     tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
                          cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
     state = TrainState.create(params, tx)
@@ -429,10 +507,12 @@ def run_pretrain_retriever(cfg):
         dm, _ = build_data(cfg)
         df = dm.df
     tok = load_tokenizer(cfg.data.tokenizer,
-                         vocab_size=cfg.model.query_enc.vocab_size)
+                         vocab_size=cfg.model.query_enc.vocab_size,
+                         fallback=cfg.data.tokenizer_fallback)
     pairs = prepare_pretrain_pairs(
-        df, tok, tok, query_max_length=cfg.data.query_max_length,
-        mips_max_length=cfg.data.memory_len,
+        df, tok, tok, mode=cfg.retriever.pair_mode,
+        query_max_length=cfg.data.query_max_length,
+        mips_max_length=cfg.data.memory_len, seed=cfg.seed,
     )
     n = len(pairs["query_input_ids"])
     log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever")
@@ -452,26 +532,23 @@ def run_pretrain_retriever(cfg):
 
     # full-KB validation (reference on_validation_start + validation_step,
     # sotasum/retriever_lightning.py:339-416): every positive is its own
-    # gold document; rank it among the whole encoded pair corpus
+    # gold document; rank it among the COMPLETE encoded pair corpus
     from .retriever.validate import validate_retriever
 
-    n_eval = min(n, 128)
     corpus = {
-        "token_ids": np.asarray(pairs["mips_input_ids"][:n_eval]),
-        "token_mask": np.asarray(pairs["mips_attention_mask"][:n_eval]),
+        "token_ids": np.asarray(pairs["mips_input_ids"]),
+        "token_mask": np.asarray(pairs["mips_attention_mask"]),
     }
-    row_aids = np.arange(n_eval, dtype=np.int32)[:, None]
+    row_aids = np.arange(n, dtype=np.int32)[:, None]
     queries = {
-        "query_input_ids": np.asarray(pairs["query_input_ids"][:n_eval]),
-        "query_attention_mask": np.asarray(
-            pairs["query_attention_mask"][:n_eval]
-        ),
+        "query_input_ids": np.asarray(pairs["query_input_ids"]),
+        "query_attention_mask": np.asarray(pairs["query_attention_mask"]),
     }
     vm = validate_retriever(
         state.params, rcfg.query_enc, rcfg.mips_enc, corpus, row_aids,
-        queries, gold_aid=np.arange(n_eval, dtype=np.int32),
-        gold_counts=np.ones(n_eval, np.int32),
-        k=min(10, n_eval),
+        queries, gold_aid=np.arange(n, dtype=np.int32),
+        gold_counts=np.ones(n, np.int32),
+        k=min(cfg.retriever.eval_k, n),
     )
     out.update({f"val_{k_}": v for k_, v in vm.items()})
     return out
@@ -481,10 +558,10 @@ def run_build_index(cfg, out_dir: str):
     import jax
 
     from .index.flat import save_flat_index
-    from .models.retriever_generator import init_rag
+    from .models.retriever_generator import init_rag_pretrained
 
     dm, _ = build_data(cfg)
-    params = init_rag(jax.random.PRNGKey(cfg.seed), cfg.model)
+    params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
     store = build_store(params, cfg, dm)
     from .index.flat import FlatIndex
 

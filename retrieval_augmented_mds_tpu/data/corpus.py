@@ -44,6 +44,29 @@ def load_multi_x_science(path: str = "multi_x_science_sum", cache_dir=None):
     return data.map(lambda x: {"index": next(counter)})
 
 
+def load_fixture(path: str | None = None) -> pd.DataFrame:
+    """Committed real-schema Multi-XScience fixture (200 examples,
+    tools/make_fixture.py) — the offline stand-in for the HF dataset:
+    same columns (aid/mid/abstract/related_work/ref_abstract{cite_N, mid,
+    abstract}), shared reference pool, empty ref abstracts, @cite_N/@math
+    markers. Any .json/.json.gz of such records also loads through here."""
+    import gzip
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "fixtures",
+            "multi_x_science_200.json.gz",
+        )
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        records = json.load(f)
+    df = pd.DataFrame(records)
+    df["index"] = np.arange(len(df))
+    return df
+
+
 def synthetic_multi_x_science(
     n: int = 64, n_refs: int = 3, seed: int = 0
 ) -> pd.DataFrame:

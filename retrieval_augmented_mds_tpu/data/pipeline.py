@@ -207,10 +207,57 @@ class RAGDataModule:
     doc_sep: str = "<DOC_SEP>"
     prompt_prefix: str = ""
     dual_memory: bool = False
+    cache_dir: str | None = None  # offline tokenized-arrays cache
+
+    def _cache_key(self) -> str:
+        """Fingerprint of everything that determines the tokenized arrays
+        (the reference tokenizes once to Arrow and reloads,
+        sotasum/data_modules.py:84,268 — this is the npz equivalent)."""
+        import hashlib
+
+        tok_id = getattr(
+            getattr(self.tokenizer, "tok", None), "name_or_path",
+            f"hash:{getattr(self.tokenizer, 'vocab_size', 0)}",
+        )
+        qtok_id = getattr(
+            getattr(self.query_tokenizer, "tok", None), "name_or_path",
+            f"hash:{getattr(self.query_tokenizer, 'vocab_size', 0)}",
+        )
+        h = hashlib.sha256()
+        h.update(repr((
+            tok_id, qtok_id, self.corpus_column, self.max_length,
+            self.query_max_length, self.decoder_max_length, self.memory_len,
+            self.source_memory, self.doc_sep, self.prompt_prefix,
+            self.dual_memory, len(self.df),
+        )).encode())
+        for col in ("mid", "aid"):
+            if col in self.df:
+                h.update("".join(map(str, self.df[col])).encode())
+        h.update(str(int(self.df["abstract"].str.len().sum())).encode())
+        h.update(str(int(self.df["related_work"].str.len().sum())).encode())
+        return h.hexdigest()[:16]
 
     def prepare(self):
+        import os
+
+        cache_path = None
+        if self.cache_dir:
+            cache_path = os.path.join(
+                self.cache_dir, f"rag_tok_{self._cache_key()}.npz"
+            )
         self.corpus = build_mips_corpus(self.df, self.corpus_column)
         self.aid_vocab = build_aid_vocab(self.df, self.corpus)
+        if cache_path and os.path.exists(cache_path):
+            data = np.load(cache_path)
+            self.store_arrays = {
+                k[len("store/"):]: data[k] for k in data.files
+                if k.startswith("store/")
+            }
+            self.examples = {
+                k[len("ex/"):]: data[k] for k in data.files
+                if k.startswith("ex/")
+            }
+            return self
         self.store_arrays = prepare_memory_store_arrays(
             self.corpus, self.tokenizer, memory_len=self.memory_len,
             aid_vocab=self.aid_vocab,
@@ -224,6 +271,11 @@ class RAGDataModule:
             aid_vocab=self.aid_vocab, prompt_prefix=self.prompt_prefix,
             dual_memory=self.dual_memory, memory_len=self.memory_len,
         )
+        if cache_path:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            payload = {f"store/{k}": v for k, v in self.store_arrays.items()}
+            payload.update({f"ex/{k}": v for k, v in self.examples.items()})
+            np.savez(cache_path, **payload)
         return self
 
     @property

@@ -103,16 +103,38 @@ class HFTokenizerWrapper:
 
 
 def load_tokenizer(
-    name_or_path: str | None, vocab_size: int = 512, doc_sep: str = "<DOC_SEP>"
+    name_or_path: str | None,
+    vocab_size: int = 512,
+    doc_sep: str = "<DOC_SEP>",
+    fallback: str = "error",  # "error" | "hash"
 ):
-    """HF tokenizer when available; hash fallback otherwise (name None or
-    load failure — e.g. the zero-egress container)."""
+    """HF tokenizer for an explicit name; hash tokenizer when name is None.
+
+    A named tokenizer that fails to load RAISES by default — a typo'd model
+    name must not silently train garbage through the toy hash tokenizer.
+    Pass ``fallback="hash"`` (config `data.tokenizer_fallback: hash`) to
+    keep the old dev-friendly behavior, which then warns loudly.
+    """
     if name_or_path:
         try:
             from transformers import AutoTokenizer
 
             tok = AutoTokenizer.from_pretrained(name_or_path)
             return HFTokenizerWrapper(tok, doc_sep)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            if fallback != "hash":
+                raise RuntimeError(
+                    f"tokenizer {name_or_path!r} failed to load "
+                    f"({type(e).__name__}: {e}). Set `data.tokenizer: null` "
+                    "for the hermetic hash tokenizer, or "
+                    "`data.tokenizer_fallback: hash` to fall back on load "
+                    "failure."
+                ) from e
+            import warnings
+
+            warnings.warn(
+                f"[tokenizer] FALLING BACK to the toy hash tokenizer: "
+                f"{name_or_path!r} failed to load ({type(e).__name__}: {e})",
+                stacklevel=2,
+            )
     return HashTokenizer(vocab_size=vocab_size, doc_sep=doc_sep)

@@ -8,9 +8,8 @@ engines so existing configs keep working:
 
   * "Flat"          → FlatIndex (exact fused-kernel search)
   * "IVF<n>,Flat"   → IVFIndex with n clusters
-  * "IVF<n>,SQ8"    → IVFIndex with n clusters (int8 scalar quantization of
-                      the payload is a planned kernel; until then stored at
-                      index dtype — recall is ≥ the SQ8 index it replaces)
+  * "IVF<n>,SQ8"    → IVFIndex with n clusters and int8 scalar-quantized
+                      payloads (per-row scales; ivf.py:164-175)
   * "IVF<n>_HNSW32,Flat" → IVFIndex with n clusters (the HNSW coarse
                       quantizer accelerates CPU centroid lookup; on the MXU
                       the exact centroid scan is a single small matmul, so

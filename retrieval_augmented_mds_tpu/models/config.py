@@ -29,10 +29,24 @@ class EncoderConfig:
     bos_id: int = 0
     eos_id: int = 2
     pos_offset: int = 2  # RoBERTa/Longformer learned-position offset
+    # SPECTER2-style bottleneck adapter width (Pfeiffer config: one
+    # down→ReLU→up adapter after each FFN block, its own residual before
+    # the block LayerNorm). 0 = no adapters. The reference attaches the
+    # SPECTER2 adapter via the `adapters` library (sotasum/mips.py:108-113,
+    # retriever_generator.py:88-93); here it is a first-class param group.
+    adapter_dim: int = 0
 
     @staticmethod
     def longformer_base(**kw) -> "EncoderConfig":
         return EncoderConfig(**kw)
+
+    @staticmethod
+    def specter_base(**kw) -> "EncoderConfig":
+        """SPECTER2-class query/index encoder: BERT-base shape + bottleneck
+        adapter (reduction factor 16 → 48-d at H=768)."""
+        d = dict(max_len=512, window=64, adapter_dim=48, pos_offset=0)
+        d.update(kw)
+        return EncoderConfig(**d)
 
     @staticmethod
     def longformer_large(**kw) -> "EncoderConfig":

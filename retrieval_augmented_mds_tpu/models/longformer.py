@@ -35,15 +35,23 @@ def init_longformer(key, cfg: EncoderConfig) -> Params:
     ks = jax.random.split(key, 3 + cfg.n_layers)
     layers = []
     for i in range(cfg.n_layers):
-        k1, k2 = jax.random.split(ks[3 + i])
-        layers.append(
-            {
-                "attn": sliding_attention_init(k1, cfg.d_model),
-                "attn_ln": layernorm_init(cfg.d_model),
-                "ffn": ffn_init(k2, cfg.d_model, cfg.d_ffn),
-                "ffn_ln": layernorm_init(cfg.d_model),
+        k1, k2, k3 = jax.random.split(ks[3 + i], 3)
+        layer = {
+            "attn": sliding_attention_init(k1, cfg.d_model),
+            "attn_ln": layernorm_init(cfg.d_model),
+            "ffn": ffn_init(k2, cfg.d_model, cfg.d_ffn),
+            "ffn_ln": layernorm_init(cfg.d_model),
+        }
+        if cfg.adapter_dim:
+            # Pfeiffer bottleneck (SPECTER2 adapter architecture,
+            # sotasum/mips.py:108-113): down → ReLU → up, residual added
+            # before the block LayerNorm
+            ka, kb = jax.random.split(k3)
+            layer["adapter"] = {
+                "down": dense_init(ka, cfg.d_model, cfg.adapter_dim),
+                "up": dense_init(kb, cfg.adapter_dim, cfg.d_model),
             }
-        )
+        layers.append(layer)
     return {
         "tok_emb": embedding_init(ks[0], cfg.vocab_size, cfg.d_model),
         "pos_emb": embedding_init(
@@ -87,6 +95,11 @@ def longformer_encode(
         )
         x = layernorm(lp["attn_ln"], x + a)
         f = ffn(lp["ffn"], x)
+        if "adapter" in lp:
+            # adapter residual sits BEFORE the block LayerNorm
+            # (Pfeiffer residual_before_ln semantics)
+            f = f + dense(lp["adapter"]["up"],
+                          jax.nn.relu(dense(lp["adapter"]["down"], f)))
         return layernorm(lp["ffn_ln"], x + f)
 
     if remat:

@@ -69,6 +69,20 @@ class RAGConfig:
     mips_freezed: bool = False  # model_config.py:45
     mips_encoder_freezed: bool = False  # model_config.py:46
     query_encoder_freezed: bool = False
+    # --- pretrained-weight sources (the reference never trains from
+    # scratch: model_name at model_config.py:23 → LED load at
+    # retriever_generator.py:250-253; query_encoder_path/mips_model_name
+    # at model_config.py:28,61 → SPECTER2 loads at
+    # retriever_generator.py:88-93 / mips.py:108-113; memory_model_name at
+    # model_config.py:42 → mips.py:192-205; mips_state_dict /
+    # query_state_dict at model_config.py:29,62). Hydrated by
+    # models/hf_import.py:load_pretrained_rag.
+    led_weights: str | None = None  # HF name or local save_pretrained dir
+    query_encoder_weights: str | None = None
+    mips_encoder_weights: str | None = None
+    memory_encoder_weights: str | None = None
+    adapter_name: str | None = None  # SPECTER2 adapter in the state_dict
+    encoder_state_path: str | None = None  # encoders.npz from pretrain-retriever
 
     def frozen_groups(self) -> tuple[str, ...]:
         """Freeze policy → param groups (reference setup freeze logic,
@@ -155,6 +169,23 @@ def init_rag(key, cfg: RAGConfig) -> Params:
         params["copy_head"] = init_copy_token_decoder(
             ks[4], cfg.led.d_model, cfg.led.d_ffn
         )
+    return params
+
+
+def init_rag_pretrained(key, cfg: RAGConfig) -> Params:
+    """init_rag + pretrained-weight hydration when the config names any
+    weight source (the reference's always-pretrained startup path)."""
+    params = init_rag(key, cfg)
+    if any(
+        getattr(cfg, f)
+        for f in (
+            "led_weights", "query_encoder_weights", "mips_encoder_weights",
+            "memory_encoder_weights", "encoder_state_path",
+        )
+    ):
+        from .hf_import import load_pretrained_rag
+
+        params = load_pretrained_rag(params, cfg)
     return params
 
 

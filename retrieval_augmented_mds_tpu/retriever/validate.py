@@ -20,14 +20,21 @@ from ..models.longformer import longformer_encode
 from .metrics import retriever_metrics_fixed
 
 
-def encode_texts(params, cfg, ids, mask, batch_size=64, dtype=jnp.float32):
+def encode_texts(params, cfg, ids, mask, batch_size=64, dtype=jnp.float32,
+                 proj=None):
     outs = []
     n = ids.shape[0]
     pad = (-n) % batch_size
 
     @jax.jit
     def enc(i, m):
-        return longformer_encode(params, cfg, i, m, dtype=dtype)[:, 0]
+        cls = longformer_encode(params, cfg, i, m, dtype=dtype)[:, 0]
+        if proj is not None:
+            # pooled projection (reference retriever_lightning.py:142-153)
+            from ..models.core import dense
+
+            cls = dense(proj, cls.astype(jnp.float32))
+        return cls
 
     idsp = np.concatenate([ids, np.tile(ids[:1], (pad, 1))]) if pad else ids
     maskp = np.concatenate([mask, np.tile(mask[:1], (pad, 1))]) if pad else mask
@@ -54,10 +61,12 @@ def validate_retriever(
     kb = encode_texts(
         params["mips_encoder"], mips_cfg,
         corpus_tokens["token_ids"], corpus_tokens["token_mask"], batch_size,
+        proj=params.get("mips_proj"),
     )
     q = encode_texts(
         params["query_encoder"], query_cfg,
         queries["query_input_ids"], queries["query_attention_mask"], batch_size,
+        proj=params.get("query_proj"),
     )
     if metric == "l2":
         # φ-augmentation so L2 search realizes MIPS (reference :379-393)

@@ -28,6 +28,7 @@ class DataConfig:
     dataset_mode: str = "original"  # original | aggregated | dual (model_config.py:75)
     corpus_column: str = "ref_abstract"  # mips_dataset selector (model_config.py:58)
     tokenizer: str | None = None  # HF name; None → hash tokenizer
+    tokenizer_fallback: str = "error"  # "error" | "hash" on load failure
     doc_sep: str = "<DOC_SEP>"  # model_config.py:78
     max_length: int = 1024
     query_max_length: int = 256
@@ -37,6 +38,9 @@ class DataConfig:
     source_memory: bool = False  # model_config.py:82
     batch_size: int = 4
     mips_db_max_size: int | None = None  # corpus truncation (model_config.py:66)
+    # tokenize-once cache dir (reference prepare_data → save_to_disk →
+    # load_from_disk, data_modules.py:84,268); None = tokenize in memory
+    cache_dir: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +52,19 @@ class IndexConfig:
     train_size: int | None = None  # mips_train_size (model_config.py:53)
     dtype: str = "bfloat16"
     rebuild_every: int = 650  # mips_rebuild_every (no_mips.yaml:114)
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrieverPretrainConfig:
+    """pretrain-retriever knobs (reference RetrieverConfig,
+    sotasum/retriever_lightning.py:27-51, + pair-mode dataset selection at
+    sotasum/pretrain.py:268-299)."""
+
+    temperature: float = 1.0
+    pooling_dim: int | None = None  # 128-d projections (:142-153)
+    token_loss: bool = False  # BOW auxiliary loss (:155-163)
+    pair_mode: str = "abstract"  # abstract↔cited-ref | "related" (abstract↔related_work)
+    eval_k: int = 10  # top-k for full-KB validation metrics
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,12 +87,17 @@ class ExperimentConfig:
     generation: GenerationOptions = GenerationOptions()
     data: DataConfig = DataConfig()
     index: IndexConfig = IndexConfig()
+    retriever: RetrieverPretrainConfig = RetrieverPretrainConfig()
     mesh: MeshConfig = MeshConfig()
     logging: LoggingConfig = LoggingConfig()
     seed: int = 0
     precision: str = "float32"  # "bfloat16" on TPU (reference "16-mixed")
     max_steps: int = 100
     eval_every: int = 50
+    # cap on in-training validation epochs (reference limit_val_batches,
+    # no_mips.yaml:46-49); None = full split. `validate`/`test` commands
+    # always stream the full split.
+    eval_max_batches: int | None = None
     ckpt_dir: str | None = None
     baseline: str | None = None  # "bart" | "t5" → parametric-only fine-tune
 
@@ -90,6 +112,7 @@ _REGISTRY = {
     "generation": GenerationOptions,
     "data": DataConfig,
     "index": IndexConfig,
+    "retriever": RetrieverPretrainConfig,
     "mesh": MeshConfig,
     "logging": LoggingConfig,
 }

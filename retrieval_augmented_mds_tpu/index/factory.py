@@ -61,8 +61,21 @@ def build_index_from_factory(
             mesh=mesh,
         )
     n_clusters = min(p["n_clusters"], max(1, len(embeddings) // 8))
+    n_shards = 1
+    if mesh is not None:
+        from ..parallel.mesh import SHARD_AXIS
+
+        n_shards = mesh.shape.get(SHARD_AXIS, 1)
+        if n_shards > 1:
+            # cluster-partitioned placement needs C % shards == 0
+            n_clusters = max(n_shards, (n_clusters // n_shards) * n_shards)
     payload_dtype = "int8" if p["payload"] == "sq8" else dtype
-    return build_ivf_index(
+    index = build_ivf_index(
         embeddings, n_clusters, metric=metric, normalize=normalize,
         dtype=payload_dtype, train_size=train_size, seed=seed,
     )
+    if n_shards > 1:
+        from .ivf import shard_ivf_index
+
+        index = shard_ivf_index(index, mesh)
+    return index

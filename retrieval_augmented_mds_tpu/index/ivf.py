@@ -422,16 +422,25 @@ def ivf_search_sharded(
     mesh,
     k: int = 10,
     nprobe: int = 8,
+    ignore: jax.Array | None = None,  # [B, I] int32 global doc ids, -1 pad
 ):
     """Probed search over a cluster-partitioned index: every shard probes
     the subset of the batch's top-nprobe clusters it owns, searches its
     local gathered payload, and per-shard top-k merge via all_gather over
-    ICI (same merge as the sharded flat index)."""
+    ICI (same merge as the sharded flat index).
+
+    ``ignore`` implements the reference's self-exclusion protocol
+    (sotasum/mips.py:388-400: the query's own articles are dropped from
+    results): each shard returns k + I candidates, matches against the
+    ignore ids after the global merge, and re-selects the top-k.
+    """
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import SHARD_AXIS
     from .flat import _merge_topk
 
+    extra = 0 if ignore is None else ignore.shape[1]
+    k_fetch = k + extra
     b, d = queries.shape
     d_pad = index.dim
     c = index.n_clusters
@@ -468,12 +477,12 @@ def ivf_search_sharded(
         scale = None
         if cscale is not None:
             scale = jnp.take(cscale, safe, axis=0).reshape(-1)
-        vals, pos = mips_topk(q, corpus, k, bias, None, scale)
+        vals, pos = mips_topk(q, corpus, k_fetch, bias, None, scale)
         ids = jnp.take(sub_ids.reshape(-1), jnp.maximum(pos, 0))
         ids = jnp.where(pos >= 0, ids, -1)
         vals_s = jax.lax.all_gather(vals, SHARD_AXIS)
         ids_s = jax.lax.all_gather(ids, SHARD_AXIS)
-        return _merge_topk(vals_s, ids_s, k)
+        return _merge_topk(vals_s, ids_s, k_fetch)
 
     scale_spec = None if index.clustered_scale is None else P(SHARD_AXIS, None)
     vals, ids = jax.shard_map(
@@ -488,11 +497,16 @@ def ivf_search_sharded(
 
     # spill buffer searched once (replicated, tiny) and merged in
     s_vals, s_pos = mips_topk(
-        q, index.spill, min(k, index.spill.shape[0]), index.spill_bias,
+        q, index.spill, min(k_fetch, index.spill.shape[0]), index.spill_bias,
         None, index.spill_scale,
     )
     s_ids = jnp.where(s_pos >= 0, index.spill_ids[jnp.maximum(s_pos, 0)], -1)
     all_vals = jnp.concatenate([vals, s_vals], axis=1)
     all_ids = jnp.concatenate([ids, s_ids], axis=1)
+    if ignore is not None:
+        bad = (
+            all_ids[:, :, None] == ignore[:, None, :].astype(jnp.int32)
+        ).any(-1)
+        all_vals = jnp.where(bad, NEG_INF, all_vals)
     top_vals, sel = jax.lax.top_k(all_vals, k)
     return top_vals, jnp.take_along_axis(all_ids, sel, axis=1)

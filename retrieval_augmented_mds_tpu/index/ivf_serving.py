@@ -2,24 +2,22 @@
 
 The batched union-probe path (index/ivf.py) amortizes cluster reads over
 the whole batch — right for training-sized batches. At serving batch
-sizes (B ≤ ~16) the union is small but the gathered-subset formulation
-still touches more rows than necessary; this kernel reads EXACTLY each
-query's nprobe clusters from HBM, steered by scalar-prefetched probe ids
-(pltpu.PrefetchScalarGridSpec): grid = (B, nprobe), block index maps look
-up the cluster id for the current (query, probe) pair, and a running
-top-k in VMEM merges across probes. Traffic: B·nprobe·cap·D bytes vs the
-flat scan's N·D.
+sizes (B ≤ ~16) this kernel reads EXACTLY each query's nprobe clusters
+from HBM instead of streaming the whole corpus: traffic is
+B·nprobe·cap·D bytes vs the flat scan's N·D.
+
+v1 of this kernel (round 1) used grid = (B, nprobe) with one cluster per
+grid step and lost to the flat scan on per-grid-step overhead (4.7 ms at
+N=1M vs flat's 1.8 ms). This version collapses the grid to (B,) and
+hand-pipelines the cluster stream inside the kernel: the clustered
+payload stays in HBM (`memory_space=ANY`), probe ids arrive via scalar
+prefetch, and a double-buffered `make_async_copy` chain overlaps the
+next cluster's DMA with the current cluster's matmul + running top-k
+merge (pallas_guide.md "Patterns: Double Buffering"). The probe loop is
+fully unrolled (nprobe is static), so every buffer slot index is static.
 
 The always-probed spill buffer is searched with the flat kernel and
 merged outside (it is tiny by construction).
-
-Measured status (v5e-1, D=768, B=4, k=10): the fused flat scan runs at
-HBM speed-of-light (~890 GB/s corpus stream; 0.23 ms at N=131k, 1.8 ms
-at N=1M), and this kernel's per-grid-step overheads currently outweigh
-its traffic advantage (4.7 ms at N=1M, nprobe=16). It is kept as the
-scaling path for corpora that exceed single-chip HBM economics and as
-the base for multi-step DMA pipelining work; the flat kernel is the
-production default at these sizes.
 """
 
 from __future__ import annotations
@@ -37,62 +35,85 @@ from .ivf import IVFIndex
 
 def _kernel(
     probes_ref,  # scalar prefetch: [B * nprobe] int32 cluster ids
-    q_ref,  # [1, 1, D]
-    e_ref,  # [1, L, D] this probe's cluster rows
-    bias_ref,  # [1, 1, L] row bias (−inf on pads)
-    scale_ref,  # [1, 1, L] row scale (1.0 unless SQ8)
+    q_ref,  # [1, 1, D] this query's block (VMEM)
+    clustered_hbm,  # [C, L, D] full clustered payload (HBM)
+    bias_hbm,  # [C, 1, L] row bias, −inf on pads (HBM)
+    scale_hbm,  # [C, 1, L] row scale, 1.0 unless SQ8 (HBM)
     out_vals_ref,  # [1, 1, _RUN]
     out_pos_ref,  # [1, 1, _RUN] positions p*L+slot into the probed set
-    run_vals,  # scratch [1, _RUN]
-    run_pos,  # scratch [1, _RUN]
+    ebuf,  # VMEM scratch [2, L, D] payload dtype
+    bbuf,  # VMEM scratch [2, 1, L] f32
+    sbuf,  # VMEM scratch [2, 1, L] f32
+    esem,  # DMA semaphores (2,)
+    bsem,
+    ssem,
     *,
     k: int,
     L: int,
+    nprobe: int,
 ):
-    p = pl.program_id(1)
-    np_ = pl.num_programs(1)
+    i = pl.program_id(0)
 
-    @pl.when(p == 0)
-    def _init():
-        run_vals[:] = jnp.full(run_vals.shape, NEG_INF, jnp.float32)
-        run_pos[:] = jnp.full(run_pos.shape, _INT_MAX, jnp.int32)
+    def dmas(slot, p):
+        cid = probes_ref[i * nprobe + p]
+        return (
+            pltpu.make_async_copy(
+                clustered_hbm.at[cid], ebuf.at[slot], esem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                bias_hbm.at[cid], bbuf.at[slot], bsem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                scale_hbm.at[cid], sbuf.at[slot], ssem.at[slot]
+            ),
+        )
+
+    for d in dmas(0, 0):
+        d.start()
 
     q = q_ref[0].astype(jnp.float32)  # [1, D]
-    e = e_ref[0]
-    if e.dtype == jnp.int8:
-        e = e.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        q.astype(e.dtype) if e.dtype == jnp.bfloat16 else q, e,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, L]
-    scores = scores * scale_ref[0, 0][None, :] + bias_ref[0, 0][None, :]
-    pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) + p * L
-    )
+    run_vals = jnp.full((1, _RUN), NEG_INF, jnp.float32)
+    run_pos = jnp.full((1, _RUN), _INT_MAX, jnp.int32)
 
-    cand_vals = jnp.concatenate([scores, run_vals[:]], axis=-1)
-    cand_pos = jnp.concatenate([pos, run_pos[:]], axis=-1)
-    nv, npos = [], []
-    for _ in range(k):
-        m = jnp.max(cand_vals, axis=-1)
-        hit = cand_vals == m[:, None]
-        picked = jnp.min(jnp.where(hit, cand_pos, _INT_MAX), axis=-1)
-        nv.append(m)
-        npos.append(picked)
-        cand_vals = jnp.where(hit, NEG_INF, cand_vals)
-    pad = _RUN - k
-    vals = jnp.pad(jnp.stack(nv, -1), ((0, 0), (0, pad)),
-                   constant_values=NEG_INF)
-    poss = jnp.pad(jnp.stack(npos, -1), ((0, 0), (0, pad)),
-                   constant_values=_INT_MAX)
-    run_vals[:] = vals
-    run_pos[:] = poss
+    for p in range(nprobe):  # static unroll: slot indices stay static
+        slot = p % 2
+        if p + 1 < nprobe:
+            for d in dmas((p + 1) % 2, p + 1):
+                d.start()
+        for d in dmas(slot, p):
+            d.wait()
 
-    @pl.when(p == np_ - 1)
-    def _emit():
-        out_vals_ref[0] = run_vals[:]
-        out_pos_ref[0] = run_pos[:]
+        e = ebuf[slot]  # [L, D]
+        if e.dtype == jnp.int8:
+            e = e.astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q.astype(e.dtype) if e.dtype == jnp.bfloat16 else q, e,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, L]
+        scores = scores * sbuf[slot] + bbuf[slot]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) + p * L
+
+        cand_vals = jnp.concatenate([scores, run_vals], axis=-1)
+        cand_pos = jnp.concatenate([pos, run_pos], axis=-1)
+        nv, npos = [], []
+        for _ in range(k):
+            m = jnp.max(cand_vals, axis=-1)
+            hit = cand_vals == m[:, None]
+            picked = jnp.min(jnp.where(hit, cand_pos, _INT_MAX), axis=-1)
+            nv.append(m)
+            npos.append(picked)
+            cand_vals = jnp.where(hit, NEG_INF, cand_vals)
+        pad = _RUN - k
+        run_vals = jnp.pad(
+            jnp.stack(nv, -1), ((0, 0), (0, pad)), constant_values=NEG_INF
+        )
+        run_pos = jnp.pad(
+            jnp.stack(npos, -1), ((0, 0), (0, pad)), constant_values=_INT_MAX
+        )
+
+    out_vals_ref[0] = run_vals
+    out_pos_ref[0] = run_pos
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret"))
@@ -124,36 +145,34 @@ def ivf_search_serving(
     _, probe = jax.lax.top_k(cscores, nprobe)  # [B, nprobe]
     probes_flat = probe.reshape(-1).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nprobe),
-        in_specs=[
-            pl.BlockSpec((1, 1, d_pad), lambda i, p, pr: (i, 0, 0)),
-            pl.BlockSpec(
-                (1, L, d_pad),
-                lambda i, p, pr: (pr[i * nprobe + p], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, L), lambda i, p, pr: (pr[i * nprobe + p], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, L), lambda i, p, pr: (pr[i * nprobe + p], 0, 0)
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, _RUN), lambda i, p, pr: (i, 0, 0)),
-            pl.BlockSpec((1, 1, _RUN), lambda i, p, pr: (i, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, _RUN), jnp.float32),
-            pltpu.VMEM((1, _RUN), jnp.int32),
-        ],
-    )
     scale = index.clustered_scale
     if scale is None:
         scale = jnp.ones_like(index.clustered_bias)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, d_pad), lambda i, pr: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # clustered stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # bias
+            pl.BlockSpec(memory_space=pl.ANY),  # scale
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _RUN), lambda i, pr: (i, 0, 0)),
+            pl.BlockSpec((1, 1, _RUN), lambda i, pr: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, L, d_pad), index.clustered.dtype),
+            pltpu.VMEM((2, 1, L), jnp.float32),
+            pltpu.VMEM((2, 1, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
     vals, pos = pl.pallas_call(
-        functools.partial(_kernel, k=k, L=L),
+        functools.partial(_kernel, k=k, L=L, nprobe=nprobe),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, _RUN), jnp.float32),

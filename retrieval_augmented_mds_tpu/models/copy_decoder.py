@@ -80,6 +80,12 @@ def mix_copy_probs(
     probs = gen_gate.astype(jnp.float32) * jax.nn.softmax(
         lm_logits.astype(jnp.float32), axis=-1
     )
+    if copy_seq.shape[0] != probs.shape[0]:
+        # beam decoding against un-expanded memory: copy_seq is [b, M]
+        # while probs is [b·beams, T, V]; ids are tiny — repeat them
+        copy_seq = jnp.repeat(
+            copy_seq, probs.shape[0] // copy_seq.shape[0], axis=0
+        )
     probs = _scatter_copy_mass(probs, copy_probs, copy_seq)
     return jnp.log(probs + EPS)
 
@@ -157,11 +163,16 @@ def _biased_cross_attention(
     """Single cross-attn with score-biased logits; returns (out, weights).
 
     The learned scalar gate on the bias is the `beta * attention_bias +
-    beta_bias` mechanism of decoder_own.py:110-115.
+    beta_bias` mechanism of decoder_own.py:110-115. Beam decoding: when
+    x's batch is a multiple of the memory batch (un-expanded memory), the
+    beam axis is folded into the query time axis (core._fold_groups) so
+    memory K/V are read once per batch item, not once per beam.
     """
-    from .core import _merge_heads, _split_heads
+    from .core import _fold_groups, _merge_heads, _split_heads, _unfold_groups
 
     dh = lp["cross_attn"]["q"]["kernel"].shape[1] // n_heads
+    b_mem = memory_mask.shape[0]
+    t = x.shape[1]
     q = _split_heads(dense(lp["cross_attn"]["q"], x), n_heads)
     if kv is not None:
         k, v = kv
@@ -170,6 +181,11 @@ def _biased_cross_attention(
     else:
         k = _split_heads(dense(lp["cross_attn"]["k"], memory), n_heads)
         v = _split_heads(dense(lp["cross_attn"]["v"], memory), n_heads)
+    g = 1
+    if q.shape[0] != b_mem:
+        assert q.shape[0] % b_mem == 0, (q.shape, b_mem)
+        g = q.shape[0] // b_mem
+        q = _fold_groups(q, g)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(dh))
@@ -179,8 +195,13 @@ def _biased_cross_attention(
     logits = jnp.where((memory_mask > 0)[:, None, None, :], logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(x.dtype), v)
+    if g > 1:
+        out = _unfold_groups(out, g)
     out = dense(lp["cross_attn"]["o"], _merge_heads(out))
-    return out, jnp.mean(w, axis=1)  # weights averaged over heads → [B,T,M]
+    align = jnp.mean(w, axis=1)  # heads-averaged weights → [b, g·T, M]
+    if g > 1:
+        align = align.reshape(b_mem * g, t, align.shape[-1])
+    return out, align
 
 
 def copy_decoder_forward(
@@ -253,23 +274,32 @@ def copy_token_decoder_forward(
     emb_table: jax.Array,  # [V, H] tied target embedding
 ):
     """Full Head-B path → log-probs [B, T, V] (decoder.py:224-298)."""
-    from .core import _merge_heads, _split_heads
+    from .core import _fold_groups, _merge_heads, _split_heads, _unfold_groups
 
     h = decoder_hidden.shape[-1]
+    b_mem = memory_mask.shape[0]
+    t = decoder_hidden.shape[1]
     q = _split_heads(dense(params["align"]["q"], decoder_hidden), 1)
     k = _split_heads(dense(params["align"]["k"], memory), 1)
     v = _split_heads(dense(params["align"]["v"], memory), 1)
+    g = 1
+    if q.shape[0] != b_mem:  # beam fold (see _biased_cross_attention)
+        assert q.shape[0] % b_mem == 0, (q.shape, b_mem)
+        g = q.shape[0] // b_mem
+        q = _fold_groups(q, g)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(h))
     logits = logits + memory_bias.astype(jnp.float32)[:, None, None, :]
     logits = jnp.where((memory_mask > 0)[:, None, None, :], logits, NEG_INF)
-    w = jax.nn.softmax(logits, axis=-1)  # [B, 1, T, M]
-    attn = dense(
-        params["align"]["o"],
-        _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w.astype(memory.dtype), v)),
-    )
+    w = jax.nn.softmax(logits, axis=-1)  # [B, 1, g·T, M]
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(memory.dtype), v)
+    if g > 1:
+        out = _unfold_groups(out, g)
+    attn = dense(params["align"]["o"], _merge_heads(out))
     align = w[:, 0]  # single head
+    if g > 1:
+        align = align.reshape(b_mem * g, t, align.shape[-1])
 
     outs = layernorm(params["align_ln"], decoder_hidden + attn)
     outs = layernorm(params["ffn_ln"], ffn(params["ffn"], outs))

@@ -91,6 +91,32 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, t, nh * dh)
 
 
+def _fold_groups(q: jax.Array, g: int) -> jax.Array:
+    """[b·g, nh, t, dh] → [b, nh, g·t, dh] (row b·g-major order kept).
+
+    Beam decoding trick: beams are query-side only — the encoder states,
+    their K/V projections, and the retrieved memory are identical across a
+    batch item's beams. Folding the beam axis into the query time axis lets
+    attention run against UN-expanded [b, ...] K/V: per-step HBM traffic
+    drops by the beam factor and the beam-reorder gather never has to touch
+    encoder-side tensors (the torch reference instead `index_select`s the
+    beam-expanded memory every step, retriever_generator.py:297-344)."""
+    bg, nh, t, dh = q.shape
+    b = bg // g
+    return q.reshape(b, g, nh, t, dh).transpose(0, 2, 1, 3, 4).reshape(
+        b, nh, g * t, dh
+    )
+
+
+def _unfold_groups(o: jax.Array, g: int) -> jax.Array:
+    """Inverse of `_fold_groups`: [b, nh, g·t, dh] → [b·g, nh, t, dh]."""
+    b, nh, gt, dh = o.shape
+    t = gt // g
+    return o.reshape(b, nh, g, t, dh).transpose(0, 2, 1, 3, 4).reshape(
+        b * g, nh, t, dh
+    )
+
+
 def attention(
     p: Params,
     x_q: jax.Array,  # [B, Tq, H]
@@ -106,7 +132,10 @@ def attention(
     append at cache["pos"] (incremental decode); mask then applies over the
     full cached length. With ``kv``, the key/value projections are reused
     (cross-attention during incremental decode — computed once, not per
-    step)."""
+    step). When the q batch is a multiple of the kv batch (beam decoding
+    against un-expanded encoder K/V), beams are folded into the query time
+    axis — see `_fold_groups`; ``mask``/``bias`` must then be batched at
+    the kv batch size (or broadcastable)."""
     dh = p["q"]["kernel"].shape[1] // n_heads
     q = _split_heads(dense(p["q"], x_q), n_heads)
     if kv is not None:
@@ -123,8 +152,15 @@ def attention(
                                          (0, 0, pos, 0))
         cache = {"k": k, "v": v, "pos": pos + x_kv.shape[1]}
 
+    g = 1
+    if k.shape[0] != q.shape[0]:
+        assert q.shape[0] % k.shape[0] == 0, (q.shape, k.shape)
+        g = q.shape[0] // k.shape[0]
+        q = _fold_groups(q, g)
+
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) / jnp.sqrt(jnp.float32(dh))
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -132,6 +168,8 @@ def attention(
         logits = jnp.where(mask, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(x_q.dtype))
+    if g > 1:
+        out = _unfold_groups(out, g)
     return dense(p["o"], _merge_heads(out)), cache
 
 

@@ -24,6 +24,10 @@ NEG = -1.0e9
 
 @dataclasses.dataclass(frozen=True)
 class GenerationOptions:
+    """The HF GenerationConfig surface the reference embeds in its YAML
+    (config/no_mips.yaml:136-185): beam knobs, repetition controls, and
+    the sampling family."""
+
     max_new_tokens: int = 64
     num_beams: int = 1
     min_length: int = 1
@@ -31,6 +35,12 @@ class GenerationOptions:
     length_penalty: float = 1.0
     decoder_start_id: int = 2  # LED/BART decoder_start_token_id
     output_copy_probs: bool = False  # per-token copy traces on predict
+    early_stopping: bool = False  # freeze finished set once num_beams done
+    repetition_penalty: float = 1.0  # HF RepetitionPenaltyLogitsProcessor
+    do_sample: bool = False  # sampled decoding (num_beams == 1 path)
+    temperature: float = 1.0
+    top_k: int = 0  # 0 = disabled
+    top_p: float = 1.0  # 1.0 = disabled
 
 
 def _ban_repeated_ngrams(
@@ -66,15 +76,46 @@ def _ban_repeated_ngrams(
     return jnp.where(banned, NEG, logp)
 
 
-def _expand_beams(tree, beams: int):
-    """Repeat every [B, ...] leaf to [B*beams, ...] (beam-major fold)."""
+def _apply_repetition_penalty(
+    seqs: jax.Array,  # [B, Tmax] generated so far (incl. start token)
+    cur_len: jax.Array,  # [] current length
+    logp: jax.Array,  # [B, V] logits or log-probs
+    penalty: float,
+) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor semantics: scores of tokens
+    already generated are divided by `penalty` when positive, multiplied
+    when negative (works identically on raw logits and on the copy
+    mixture's log-probs, which are always ≤ 0)."""
+    if penalty == 1.0:
+        return logp
+    b, tmax = seqs.shape
+    seen = jnp.arange(tmax)[None, :] < cur_len  # [1, Tmax] → broadcast
+    present = jnp.zeros(logp.shape, bool).at[
+        jnp.arange(b)[:, None], seqs
+    ].max(jnp.broadcast_to(seen, seqs.shape))
+    penalized = jnp.where(logp > 0, logp / penalty, logp * penalty)
+    return jnp.where(present, penalized, logp)
 
-    def rep(x):
-        if x is None or not hasattr(x, "shape") or x.ndim == 0:
-            return x
-        return jnp.repeat(x, beams, axis=0)
 
-    return jax.tree_util.tree_map(rep, tree, is_leaf=lambda v: v is None)
+def _sample_filter(
+    logp: jax.Array, top_k: int, top_p: float, temperature: float
+) -> jax.Array:
+    """Temperature + top-k + nucleus filtering (HF sampling knobs)."""
+    if temperature != 1.0:
+        logp = logp / temperature
+    if top_k > 0:
+        kth = jnp.sort(logp, axis=-1)[:, -top_k][:, None]
+        logp = jnp.where(logp < kth, NEG, logp)
+    if top_p < 1.0:
+        srt = jnp.sort(logp, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p  # smallest set with mass ≥ top_p
+        thresh = jnp.min(
+            jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
+        )
+        logp = jnp.where(logp < thresh, NEG, logp)
+    return logp
 
 
 def generate(
@@ -84,15 +125,16 @@ def generate(
     opts: GenerationOptions,
     *,
     dtype=jnp.float32,
+    rng: jax.Array | None = None,  # PRNG key for do_sample
 ) -> jax.Array:
     """Returns generated ids [B, max_new_tokens] (pad-filled after eos).
 
     Retrieval happens ONCE (in `rag_encode`, before decoding — the
-    reference's semantics at sotasum/lightning_model.py:301-306); memory is
-    fixed for all decode steps and beam-expanded here.
+    reference's semantics at sotasum/lightning_model.py:301-306); memory
+    stays fixed (and un-expanded) for all decode steps.
     """
     if opts.num_beams <= 1:
-        return _greedy(params, cfg, enc_out, opts, dtype)
+        return _greedy(params, cfg, enc_out, opts, dtype, rng=rng)
     return _beam(params, cfg, enc_out, opts, dtype)
 
 
@@ -131,7 +173,7 @@ def _copy_kv(params, cfg, enc_out, dtype):
     )
 
 
-def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
+def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype, rng=None):
     b = enc_out.enc_hidden.shape[0]
     t_max = opts.max_new_tokens
     pad, eos = cfg.led.pad_id, cfg.led.eos_id
@@ -139,6 +181,8 @@ def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
     caches = _init_caches(
         params, cfg, b, t_max + 1, dtype, enc_hidden=enc_out.enc_hidden
     )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     seqs0 = jnp.full((b, t_max + 1), pad, jnp.int32)
     seqs0 = seqs0.at[:, 0].set(opts.decoder_start_id)
@@ -147,6 +191,9 @@ def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
         seqs, caches, done = carry
         tok = jnp.take_along_axis(seqs, t[None, None], axis=1)[:, 0]
         logp, caches = step(enc_out, tok, caches, t)
+        logp = _apply_repetition_penalty(
+            seqs, t + 1, logp, opts.repetition_penalty
+        )
         logp = _ban_repeated_ngrams(
             seqs, t + 1, logp, opts.no_repeat_ngram_size
         )
@@ -156,7 +203,15 @@ def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype):
             NEG,
             logp,
         )
-        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        if opts.do_sample:
+            logp = _sample_filter(
+                logp, opts.top_k, opts.top_p, opts.temperature
+            )
+            nxt = jax.random.categorical(
+                jax.random.fold_in(rng, t), logp, axis=-1
+            ).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, pad, nxt)
         seqs = seqs.at[:, t + 1].set(nxt)
         done = done | (nxt == eos)
@@ -175,9 +230,11 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
     t_max = opts.max_new_tokens
     pad, eos = cfg.led.pad_id, cfg.led.eos_id
 
-    # beam-expand encoder outputs + memory (reference index_select at
-    # retriever_generator.py:314-334)
-    enc_out = RAGEncoderOutput(**_expand_beams(dataclasses.asdict(enc_out), beams))
+    # Encoder outputs + memory are NOT beam-expanded (the torch reference
+    # index_selects beam copies every step, retriever_generator.py:314-334):
+    # attention folds the beam axis into the query time axis against the
+    # un-expanded [b, ...] K/V (core._fold_groups), so per-step HBM traffic
+    # and the beam-reorder gather shrink by the beam factor.
     step = _step_fn(params, cfg, dtype, _copy_kv(params, cfg, enc_out, dtype))
     caches = _init_caches(
         params, cfg, bb, t_max + 1, dtype, enc_hidden=enc_out.enc_hidden
@@ -198,6 +255,9 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
         tok = jnp.take_along_axis(seqs, t[None, None], axis=1)[:, 0]
         logp, new_caches = step(enc_out, tok, caches, t)  # [bb, V]
         v = logp.shape[-1]
+        logp = _apply_repetition_penalty(
+            seqs, t + 1, logp, opts.repetition_penalty
+        )
         logp = _ban_repeated_ngrams(
             seqs, t + 1, logp, opts.no_repeat_ngram_size
         )
@@ -228,10 +288,21 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
         all_fin_scores = jnp.concatenate([fin_scores, cand_fin], axis=1)
         all_fin_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
         fin_top, fin_pos = jax.lax.top_k(all_fin_scores, beams)
-        fin_seqs = jnp.take_along_axis(
+        new_fin_seqs = jnp.take_along_axis(
             all_fin_seqs, fin_pos[:, :, None], axis=1
         )
-        fin_scores = fin_top
+        if opts.early_stopping:
+            # HF early_stopping=True: once `beams` hypotheses finished,
+            # the finished set is frozen — later (possibly better) ones
+            # no longer displace it
+            was_done = jnp.all(fin_scores > NEG / 2, axis=1)  # [b]
+            fin_seqs = jnp.where(
+                was_done[:, None, None], fin_seqs, new_fin_seqs
+            )
+            fin_scores = jnp.where(was_done[:, None], fin_scores, fin_top)
+        else:
+            fin_seqs = new_fin_seqs
+            fin_scores = fin_top
 
         # alive candidates: non-eos, first `beams`
         alive_scores = jnp.where(is_eos, NEG, top_scores)
@@ -242,11 +313,15 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
         gather = (jnp.arange(b)[:, None] * beams + alive_beam).reshape(-1)
         seqs = seqs[gather].reshape(bb, t_max + 1)
         seqs = seqs.at[:, t + 1].set(alive_tok.reshape(-1))
-        caches = jax.tree_util.tree_map(
-            lambda x: x[gather] if getattr(x, "ndim", 0) >= 1
-            and x.shape[0] == bb else x,
-            new_caches,
-        )
+        # beam reorder touches ONLY the self-attention K/V (the [bb, ...]
+        # leaves); cross-attention ck/cv stay [b, ...] and beam-invariant
+        caches = [
+            {
+                kk: (vv[gather] if kk in ("k", "v") else vv)
+                for kk, vv in layer.items()
+            }
+            for layer in new_caches
+        ]
         return (seqs, caches, alive_top, fin_seqs, fin_scores), None
 
     carry, _ = jax.lax.scan(
@@ -259,6 +334,9 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
     lp = jnp.power((5.0 + t_max) / 6.0, opts.length_penalty)
     alive_best = scores[:, 0] / lp
     use_fin = fin_scores[:, 0] > alive_best
+    if opts.early_stopping:
+        # an early-stopped item always returns from the finished set
+        use_fin = use_fin | jnp.all(fin_scores > NEG / 2, axis=1)
     best_alive = seqs.reshape(b, beams, t_max + 1)[:, 0]
     best = jnp.where(use_fin[:, None], fin_seqs[:, 0], best_alive)
     return best[:, 1:]

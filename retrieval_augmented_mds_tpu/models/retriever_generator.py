@@ -253,12 +253,25 @@ def rag_encode(
                     ignore=batch.get("mips_ignore"), mesh=mesh,
                 )
             else:  # IVF (coarse-quantized) index
-                from ..index.ivf import ivf_search
+                from ..index.ivf import ivf_search, ivf_search_sharded
+                from ..parallel.mesh import SHARD_AXIS
 
-                faiss_scores, idx = ivf_search(
-                    store.index, q_detached, k=k, nprobe=store.nprobe,
-                    ignore=batch.get("mips_ignore"),
+                n_shards = (
+                    mesh.shape.get(SHARD_AXIS, 1) if mesh is not None else 1
                 )
+                if n_shards > 1 and store.index.n_clusters % n_shards == 0:
+                    # cluster-partitioned search over the mesh (the sharded
+                    # analog of the reference's rank-chunked FAISS protocol,
+                    # sotasum/mips.py:226-244)
+                    faiss_scores, idx = ivf_search_sharded(
+                        store.index, q_detached, mesh, k=k,
+                        nprobe=store.nprobe, ignore=batch.get("mips_ignore"),
+                    )
+                else:
+                    faiss_scores, idx = ivf_search(
+                        store.index, q_detached, k=k, nprobe=store.nprobe,
+                        ignore=batch.get("mips_ignore"),
+                    )
             safe_idx = jnp.maximum(idx, 0)
             mem_ids = jnp.take(store.token_ids, safe_idx, axis=0)  # [B,k,L]
             mem_mask = jnp.take(store.token_mask, safe_idx, axis=0)

@@ -136,3 +136,148 @@ def test_copy_distribution_diagnostics():
         copy_distribution_over_vocab(jnp.asarray(cp), jnp.asarray(cs), v)
     )
     np.testing.assert_allclose(out.sum(-1), cp.sum(-1), rtol=1e-5)
+
+
+def test_beam_fold_matches_expanded_attention():
+    """core.attention with un-expanded K/V (beam fold) equals attention
+    against explicitly beam-expanded K/V — the equivalence the decode
+    loop relies on to skip expanding encoder-side tensors."""
+    from retrieval_augmented_mds_tpu.models.core import (
+        attention,
+        mha_init,
+        precompute_cross_kv,
+    )
+
+    rng = np.random.default_rng(0)
+    b, g, s, h, nh = 2, 4, 16, 32, 4
+    p = mha_init(jax.random.PRNGKey(0), h)
+    x_q = jnp.asarray(rng.standard_normal((b * g, 1, h)), jnp.float32)
+    enc = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    mask_b = jnp.asarray(rng.integers(0, 2, (b, s)) > 0)[:, None, None, :]
+    mask_b = mask_b.at[:, :, :, 0].set(True)  # avoid all-masked rows
+
+    kv_small = precompute_cross_kv(p, enc, nh)
+    out_fold, _ = attention(p, x_q, enc, nh, mask=mask_b, kv=kv_small)
+
+    enc_big = jnp.repeat(enc, g, axis=0)
+    mask_big = jnp.repeat(mask_b, g, axis=0)
+    kv_big = precompute_cross_kv(p, enc_big, nh)
+    out_big, _ = attention(p, x_q, enc_big, nh, mask=mask_big, kv=kv_big)
+    np.testing.assert_allclose(
+        np.asarray(out_fold), np.asarray(out_big), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_beam_fold_matches_expanded_copy_head():
+    """copy_decoder_forward with un-expanded memory equals the explicitly
+    beam-expanded memory path (gates, copy_probs, and the vocab mix)."""
+    from retrieval_augmented_mds_tpu.models.copy_decoder import (
+        copy_decoder_forward,
+        init_copy_decoder,
+        mix_copy_probs,
+        precompute_copy_kv,
+    )
+
+    rng = np.random.default_rng(1)
+    b, g, m, h, t, v = 2, 3, 8, 32, 1, 50
+    params = init_copy_decoder(jax.random.PRNGKey(1), h, 2, 64)
+    hid = jnp.asarray(rng.standard_normal((b * g, t, h)), jnp.float32)
+    memory = jnp.asarray(rng.standard_normal((b, m, h)), jnp.float32)
+    memory_mask = jnp.ones((b, m), jnp.int32)
+    memory_bias = jnp.asarray(rng.standard_normal((b, m)), jnp.float32)
+    copy_seq = jnp.asarray(rng.integers(0, v, (b, m)), jnp.int32)
+    lm_logits = jnp.asarray(
+        rng.standard_normal((b * g, t, v)), jnp.float32
+    )
+
+    kv_small = precompute_copy_kv(params, memory, 2)
+    gg1, cg1, cp1 = copy_decoder_forward(
+        params, hid, memory, memory_mask, memory_bias, n_heads=2,
+        copy_kv=kv_small,
+    )
+    out1 = mix_copy_probs(lm_logits, gg1, cp1, copy_seq)
+
+    mem_big = jnp.repeat(memory, g, axis=0)
+    mask_big = jnp.repeat(memory_mask, g, axis=0)
+    bias_big = jnp.repeat(memory_bias, g, axis=0)
+    seq_big = jnp.repeat(copy_seq, g, axis=0)
+    kv_big = precompute_copy_kv(params, mem_big, 2)
+    gg2, cg2, cp2 = copy_decoder_forward(
+        params, hid, mem_big, mask_big, bias_big, n_heads=2, copy_kv=kv_big,
+    )
+    out2 = mix_copy_probs(lm_logits, gg2, cp2, seq_big)
+    np.testing.assert_allclose(np.asarray(cp1), np.asarray(cp2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_repetition_penalty_reduces_repeats():
+    """With a strong repetition penalty, repeated-token count in greedy
+    output does not increase (HF RepetitionPenaltyLogitsProcessor
+    semantics: seen tokens' scores are down-weighted)."""
+    cfg = RAGConfig.tiny(mips_disabled=True)
+    params = init_rag(jax.random.PRNGKey(3), cfg)
+    batch = _batch(cfg)
+    enc = _enc(cfg, params, None, batch)
+
+    def n_repeats(ids):
+        ids = np.asarray(ids)
+        return sum(
+            len(row) - len(set(row.tolist())) for row in ids
+        )
+
+    base = generate(
+        params, cfg, enc, GenerationOptions(max_new_tokens=16)
+    )
+    pen = generate(
+        params, cfg, enc,
+        GenerationOptions(max_new_tokens=16, repetition_penalty=5.0),
+    )
+    assert n_repeats(pen) <= n_repeats(base)
+
+
+def test_sampling_runs_and_respects_top_k():
+    """do_sample draws valid ids; top_k=1 + sampling degenerates to
+    greedy (the argmax token is the only candidate left)."""
+    cfg = RAGConfig.tiny(mips_disabled=True)
+    params = init_rag(jax.random.PRNGKey(4), cfg)
+    batch = _batch(cfg)
+    enc = _enc(cfg, params, None, batch)
+
+    greedy = generate(
+        params, cfg, enc, GenerationOptions(max_new_tokens=8)
+    )
+    topk1 = generate(
+        params, cfg, enc,
+        GenerationOptions(max_new_tokens=8, do_sample=True, top_k=1),
+        rng=jax.random.PRNGKey(7),
+    )
+    assert np.array_equal(np.asarray(greedy), np.asarray(topk1))
+
+    sampled = generate(
+        params, cfg, enc,
+        GenerationOptions(
+            max_new_tokens=8, do_sample=True, temperature=1.5, top_p=0.9
+        ),
+        rng=jax.random.PRNGKey(8),
+    )
+    ids = np.asarray(sampled)
+    assert ids.shape == (2, 8)
+    assert (ids >= 0).all() and (ids < cfg.led.vocab_size).all()
+
+
+def test_early_stopping_beam_runs():
+    """early_stopping=True yields a valid (possibly different) beam
+    result and still prefers the finished set."""
+    cfg = RAGConfig.tiny(mips_disabled=True)
+    params = init_rag(jax.random.PRNGKey(5), cfg)
+    batch = _batch(cfg)
+    enc = _enc(cfg, params, None, batch)
+    out = generate(
+        params, cfg, enc,
+        GenerationOptions(max_new_tokens=8, num_beams=3, early_stopping=True),
+    )
+    ids = np.asarray(out)
+    assert ids.shape == (2, 8)
+    assert (ids >= 0).all() and (ids < cfg.led.vocab_size).all()

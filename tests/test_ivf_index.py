@@ -200,3 +200,46 @@ def test_sharded_ivf_matches_unsharded():
         np.sort(np.asarray(v_ref), -1), np.sort(np.asarray(v_s), -1),
         rtol=1e-5,
     )
+
+
+def test_sharded_ivf_ignore_self_exclusion():
+    """Sharded search drops the query's own doc ids (reference self-
+    exclusion protocol, sotasum/mips.py:388-400) and matches the
+    unsharded ignore path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 simulated devices")
+    from retrieval_augmented_mds_tpu.index.ivf import (
+        ivf_search_sharded,
+        shard_ivf_index,
+    )
+    from retrieval_augmented_mds_tpu.parallel import MeshSpec
+
+    mesh = MeshSpec(1, 8).build()
+    x = _clustered_data(n=4096, d=64, n_true=32, seed=21)
+    rng = np.random.default_rng(22)
+    own = rng.integers(0, len(x), 8).astype(np.int32)
+    q = x[own]  # exact rows: without ignore, rank-1 hit is the row itself
+    ignore = np.stack([own, np.full_like(own, -1)], axis=1)  # [B, 2]
+
+    idx = build_ivf_index(x, n_clusters=32, dtype=jnp.float32, seed=6)
+    v_ref, i_ref = ivf_search(
+        idx, jnp.asarray(q), k=10, nprobe=8, ignore=jnp.asarray(ignore)
+    )
+    sharded = shard_ivf_index(idx, mesh)
+    v_s, i_s = ivf_search_sharded(
+        sharded, jnp.asarray(q), mesh, k=10, nprobe=8,
+        ignore=jnp.asarray(ignore),
+    )
+    got = np.asarray(i_s)
+    assert not np.any(got == own[:, None]), "own doc id leaked into results"
+    assert np.array_equal(
+        np.sort(np.asarray(i_ref), -1), np.sort(got, -1)
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(v_ref), -1), np.sort(np.asarray(v_s), -1),
+        rtol=1e-5,
+    )

@@ -107,3 +107,74 @@ def test_data_parallel_loss_matches_single_device():
     np.testing.assert_allclose(
         float(m1["loss"]), float(m2["loss"]), rtol=1e-4
     )
+
+
+def test_data_parallel_loss_matches_single_device_ivf():
+    """DP invariance with the flagship IVF store: the sharded train step
+    (cluster-partitioned ivf_search_sharded inside rag_encode) computes
+    the same loss as the unsharded one (ivf_search) on the same batch."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from retrieval_augmented_mds_tpu.index import build_index_from_factory
+    from retrieval_augmented_mds_tpu.models.retriever_generator import (
+        RAGConfig,
+        init_rag,
+    )
+    from retrieval_augmented_mds_tpu.parallel import MeshSpec
+    from retrieval_augmented_mds_tpu.parallel.mesh import DATA_AXIS
+    from retrieval_augmented_mds_tpu.train.optimizer import build_optimizer
+    from retrieval_augmented_mds_tpu.train.trainer import (
+        TrainHyper,
+        TrainState,
+        make_train_step,
+    )
+    from tests.test_rag_model import _batch, _store
+
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(0), cfg)
+    store = _store(cfg)
+    emb = np.asarray(
+        store.index.embeddings[: store.index.n].astype(jnp.float32)
+    )
+    b1 = _batch(cfg)
+    batch = {k: jnp.concatenate([v, v], axis=0) for k, v in b1.items()}
+
+    hyper = TrainHyper(lr=1e-3, warmup_steps=1, total_steps=10)
+    tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps)
+    mesh = MeshSpec(4, 2).build()
+
+    # same embeddings, IVF factory: unsharded + cluster-partitioned copies
+    idx_plain = build_index_from_factory(emb, "IVF8,Flat", dtype=jnp.float32)
+    idx_shard = build_index_from_factory(
+        emb, "IVF8,Flat", dtype=jnp.float32, mesh=mesh
+    )
+    mk = lambda idx: store.__class__(  # noqa: E731
+        index=idx, token_ids=store.token_ids, token_mask=store.token_mask,
+        row_aids=None, nprobe=4,
+    )
+    sharded_batch = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P(DATA_AXIS, *[None] * (v.ndim - 1)))
+        )
+        for k, v in batch.items()
+    }
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+
+    step1 = make_train_step(cfg, tx, hyper)
+    params1 = jax.tree_util.tree_map(
+        lambda x: jax.numpy.array(x, copy=True), params
+    )
+    s1 = TrainState.create(params1, tx)
+    _, m1 = step1(s1, mk(idx_plain), batch, None)
+
+    step2 = make_train_step(cfg, tx, hyper, mesh=mesh)
+    s2 = TrainState.create(params_r, tx)
+    with mesh:
+        _, m2 = step2(s2, mk(idx_shard), sharded_batch, None)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-4
+    )

@@ -32,6 +32,8 @@ import pandas as pd
 
 from .corpus import add_aid_counts, build_mips_corpus, strip_cites
 
+_NATIVE_WARNED = False
+
 
 def _pad_lists(lists, width: int, fill: int = -1) -> np.ndarray:
     out = np.full((len(lists), width), fill, np.int32)
@@ -304,7 +306,13 @@ class RAGDataModule:
     def batches(
         self, batch_size: int, *, shuffle: bool = True, seed: int = 0,
         drop_last: bool = True, split: str | None = None,
+        native: bool | None = None,
     ) -> Iterator[dict[str, np.ndarray]]:
+        """Batch iterator. ``native=None`` auto-selects the C++ async
+        assembler (native/batch_loader.cpp — the torch-DataLoader-worker
+        analog, sotasum/data_modules.py:287-321) for full epochs and
+        falls back to the Python gather when the library is unavailable
+        or the epoch tail is ragged. Both paths yield identical batches."""
         if split is None:
             order = np.arange(self.n_examples)
         else:
@@ -313,6 +321,29 @@ class RAGDataModule:
             np.random.default_rng(seed).shuffle(order)
         n = len(order)
         stop = n - (n % batch_size) if drop_last else n
+        trimmed = order[:stop]
+
+        if native is not False and stop > 0 and stop % batch_size == 0:
+            try:
+                from .native_loader import native_batches
+
+                yield from native_batches(
+                    self.examples, trimmed, batch_size
+                )
+                return
+            except Exception as e:  # pragma: no cover - toolchain-dependent
+                if native is True:
+                    raise
+                global _NATIVE_WARNED
+                if not _NATIVE_WARNED:
+                    import sys
+
+                    print(
+                        f"[data] native batch loader unavailable ({e}); "
+                        "using Python gather", file=sys.stderr,
+                    )
+                    _NATIVE_WARNED = True
+
         for i in range(0, stop, batch_size):
             sel = order[i : i + batch_size]
             yield {k: v[sel] for k, v in self.examples.items()}

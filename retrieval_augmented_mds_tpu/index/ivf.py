@@ -116,63 +116,79 @@ class IVFIndex:
 
 @functools.partial(
     jax.jit, static_argnames=("n_clusters", "cap", "spill_cap", "d_pad",
-                              "metric", "sq8")
+                              "metric", "sq8", "payload")
 )
 def _pack_device(x, assign, *, n_clusters, cap, spill_cap, d_pad, metric,
-                 sq8):
+                 sq8, payload=jnp.bfloat16):
     """Device-side invlist packing: sort by cluster, cumcount positions,
     one row-window scatter into [C, cap, D] (+ spill). Replaces the old
     host loop — the packed layout never leaves HBM (the reference's
-    filesystem data plane, gone; SURVEY.md §5.8)."""
+    filesystem data plane, gone; SURVEY.md §5.8).
+
+    Rows are cast/quantized to the payload dtype and per-row metric
+    biases (+ SQ8 scales) are computed from the f32 originals BEFORE the
+    scatter, so the [C, cap, D] buffer is allocated directly at payload
+    width — at N=1M, D=768 the old f32-then-quantize order peaked at
+    ~6.4 GB for that buffer alone and OOMed a 16 GB chip."""
     n, d = x.shape
-    xp = jnp.zeros((n, d_pad), jnp.float32).at[:, :d].set(x)
+    if d_pad == d:
+        xp = x.astype(jnp.float32)
+    else:
+        xp = jnp.zeros((n, d_pad), jnp.float32).at[:, :d].set(x)
+
+    # per-row metric bias and SQ8 scale from full-precision rows
+    if metric == "l2":
+        row_bias = -0.5 * jnp.sum(xp * xp, axis=-1)  # [N]
+    else:
+        row_bias = jnp.zeros((n,), jnp.float32)
+    if sq8:
+        amax = jnp.maximum(jnp.max(jnp.abs(xp), axis=-1), 1e-12)
+        row_scale = amax / 127.0  # [N]
+        xq = jnp.clip(
+            jnp.round(xp / row_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+    else:
+        row_scale = None
+        xq = xp.astype(payload)
+
     order = jnp.argsort(assign, stable=True)
     sorted_a = assign[order]
     starts = jnp.searchsorted(sorted_a, jnp.arange(n_clusters))
     pos = jnp.arange(n) - starts[sorted_a]
     in_cap = pos < cap
-    xs = xp[order]
+    xs = xq[order]
+    bs = row_bias[order]
 
     # clustered rows: scatter kept rows at (cluster, pos)
     dest_c = jnp.where(in_cap, sorted_a, n_clusters)  # OOB drops
     dest_p = jnp.where(in_cap, pos, 0)
-    clustered = jnp.zeros((n_clusters + 1, cap, d_pad), jnp.float32)
+    clustered = jnp.zeros((n_clusters + 1, cap, d_pad), xs.dtype)
     clustered = clustered.at[dest_c, dest_p].set(xs, mode="drop")[:-1]
     cids = jnp.full((n_clusters + 1, cap), -1, jnp.int32)
     cids = cids.at[dest_c, dest_p].set(
         order.astype(jnp.int32), mode="drop"
     )[:-1]
+    cl_bias = jnp.full((n_clusters + 1, cap), NEG_INF, jnp.float32)
+    cl_bias = cl_bias.at[dest_c, dest_p].set(bs, mode="drop")[:-1]
 
     # spill rows: compact overflow via cumsum positions
     over_pos = jnp.cumsum(~in_cap) - 1
     dest_s = jnp.where(~in_cap & (over_pos < spill_cap), over_pos, spill_cap)
-    spill = jnp.zeros((spill_cap + 1, d_pad), jnp.float32)
+    spill = jnp.zeros((spill_cap + 1, d_pad), xs.dtype)
     spill = spill.at[dest_s].set(xs, mode="drop")[:-1]
     sids = jnp.full((spill_cap + 1,), -1, jnp.int32)
     sids = sids.at[dest_s].set(order.astype(jnp.int32), mode="drop")[:-1]
+    sp_bias = jnp.full((spill_cap + 1,), NEG_INF, jnp.float32)
+    sp_bias = sp_bias.at[dest_s].set(bs, mode="drop")[:-1]
     n_over = jnp.sum(~in_cap)
-
-    if metric == "l2":
-        cl_bias = jnp.where(
-            cids >= 0, -0.5 * jnp.sum(clustered**2, -1), NEG_INF
-        )
-        sp_bias = jnp.where(sids >= 0, -0.5 * jnp.sum(spill**2, -1), NEG_INF)
-    else:
-        cl_bias = jnp.where(cids >= 0, 0.0, NEG_INF)
-        sp_bias = jnp.where(sids >= 0, 0.0, NEG_INF)
 
     cl_scale = sp_scale = None
     if sq8:
-        amax_c = jnp.maximum(jnp.max(jnp.abs(clustered), -1), 1e-12)
-        cl_scale = jnp.where(cids >= 0, amax_c / 127.0, 1.0)
-        clustered = jnp.clip(
-            jnp.round(clustered / cl_scale[..., None]), -127, 127
-        ).astype(jnp.int8)
-        amax_s = jnp.maximum(jnp.max(jnp.abs(spill), -1), 1e-12)
-        sp_scale = jnp.where(sids >= 0, amax_s / 127.0, 1.0)
-        spill = jnp.clip(
-            jnp.round(spill / sp_scale[:, None]), -127, 127
-        ).astype(jnp.int8)
+        ss = row_scale[order]
+        cl_scale = jnp.ones((n_clusters + 1, cap), jnp.float32)
+        cl_scale = cl_scale.at[dest_c, dest_p].set(ss, mode="drop")[:-1]
+        sp_scale = jnp.ones((spill_cap + 1,), jnp.float32)
+        sp_scale = sp_scale.at[dest_s].set(ss, mode="drop")[:-1]
 
     return clustered, cids, cl_bias, spill, sids, sp_bias, cl_scale, \
         sp_scale, n_over
@@ -221,6 +237,7 @@ def build_ivf_index(
      n_over_packed) = _pack_device(
         x, assign, n_clusters=n_clusters, cap=cap, spill_cap=spill_cap,
         d_pad=d_pad, metric=metric, sq8=sq8,
+        payload=jnp.int8 if sq8 else dtype,
     )
     if int(n_over_packed) > spill_cap:
         raise ValueError(
@@ -237,10 +254,10 @@ def build_ivf_index(
     return IVFIndex(
         centroids=cent_pad,
         centroid_bias=cent_bias,
-        clustered=clustered if sq8 else clustered.astype(dtype),
+        clustered=clustered,
         clustered_ids=cids,
         clustered_bias=cl_bias,
-        spill=spill if sq8 else spill.astype(dtype),
+        spill=spill,
         spill_ids=sids,
         spill_bias=sp_bias,
         clustered_scale=cl_scale,

@@ -136,9 +136,14 @@ class MemoryStore:
     )  # IVF probe width (mips_nprobe, model_config.py:51)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RAGEncoderOutput:
-    """Reference RGEncoderModelOutput (retriever_generator.py:210-224)."""
+    """Reference RGEncoderModelOutput (retriever_generator.py:210-224).
+
+    Registered as a pytree so it can cross jit boundaries (e.g. serving
+    paths that encode once and call a jitted ``generate`` separately).
+    """
 
     enc_hidden: jax.Array  # [B, S, H]
     enc_mask: jax.Array  # [B, S]

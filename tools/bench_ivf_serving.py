@@ -19,7 +19,12 @@ import argparse
 import json
 import time
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _scan_timer(fn, q0, index, reps=3, t_short=8, t_long=32):
@@ -84,31 +89,49 @@ def main():
         args.n, args.d, args.clusters = 8192, 128, 32
         args.nprobes = [4, 8]
 
-    rng = np.random.default_rng(0)
+    t_start = time.perf_counter()
+
+    def note(msg):
+        print(json.dumps(
+            {"phase": msg, "t_s": round(time.perf_counter() - t_start, 1)}
+        ), flush=True)
+
     # clustered corpus (real embedding sets are far from isotropic
-    # Gaussian; use a mixture so IVF recall numbers mean something)
+    # Gaussian; use a mixture so IVF recall numbers mean something).
+    # Generated ON DEVICE: host-side numpy RNG at N=1M×768 takes many
+    # minutes on this box and the 3 GB H2D through the tunnel is worse.
     n_true = max(64, args.clusters)
-    centers = 3.0 * rng.standard_normal((n_true, args.d)).astype(np.float32)
-    assign = rng.integers(0, n_true, args.n)
-    x = centers[assign] + rng.standard_normal(
-        (args.n, args.d)
-    ).astype(np.float32)
-    q_np = x[rng.integers(0, args.n, args.b)] + 0.1 * rng.standard_normal(
-        (args.b, args.d)
-    ).astype(np.float32)
-    q = jnp.asarray(q_np)
+    kc, ka, kn, kq, kp = jax.random.split(jax.random.PRNGKey(0), 5)
+
+    @jax.jit
+    def gen_corpus():
+        centers = 3.0 * jax.random.normal(kc, (n_true, args.d), jnp.float32)
+        assign = jax.random.randint(ka, (args.n,), 0, n_true)
+        x = centers[assign] + jax.random.normal(
+            kn, (args.n, args.d), jnp.float32
+        )
+        qi = jax.random.randint(kq, (args.b,), 0, args.n)
+        q = x[qi] + 0.1 * jax.random.normal(kp, (args.b, args.d), jnp.float32)
+        return x, q
+
+    x, q = gen_corpus()
+    q.block_until_ready()
+    note("corpus generated")
 
     payload = jnp.int8 if args.payload == "int8" else jnp.bfloat16
     flat = build_flat_index(x, dtype=payload)
+    note("flat built")
     ivf = build_ivf_index(
         x, n_clusters=args.clusters, dtype="int8" if payload == jnp.int8
         else payload, train_size=min(args.n, 65536), iters=8,
     )
+    note("ivf built")
 
     # exact truth from the flat bf16 scan at full precision payload
     truth = build_flat_index(x, dtype=jnp.bfloat16)
     _, ref_ids = search(truth, q, k=args.k)
     ref_ids = np.asarray(ref_ids)
+    note("truth ids computed")
 
     def recall(ids):
         ids = np.asarray(ids)
@@ -117,9 +140,16 @@ def main():
         ) / (args.b * args.k)
 
     rows = []
+
+    def emit(r):
+        r["backend"] = jax.default_backend()
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    print(json.dumps({"phase": "indexes built", "n": args.n}), flush=True)
     t_flat = _scan_timer(lambda ii, qq: search(ii, qq, k=args.k), q, flat)
     _, ids = search(flat, q, k=args.k)
-    rows.append({
+    emit({
         "engine": "flat", "payload": args.payload, "n": args.n, "b": args.b,
         "ms": round(t_flat * 1e3, 3), "recall": round(recall(ids), 4),
     })
@@ -129,7 +159,7 @@ def main():
             lambda ii, qq: ivf_search(ii, qq, k=args.k, nprobe=npb), q, ivf
         )
         _, ids_u = ivf_search(ivf, q, k=args.k, nprobe=npb)
-        rows.append({
+        emit({
             "engine": "ivf_union", "nprobe": npb, "n": args.n, "b": args.b,
             "ms": round(t_u * 1e3, 3), "recall": round(recall(ids_u), 4),
         })
@@ -138,15 +168,11 @@ def main():
             q, ivf,
         )
         _, ids_s = ivf_search_serving(ivf, q, k=args.k, nprobe=npb)
-        rows.append({
+        emit({
             "engine": "ivf_serving_dma", "nprobe": npb, "n": args.n,
             "b": args.b, "ms": round(t_s * 1e3, 3),
             "recall": round(recall(ids_s), 4),
         })
-
-    for r in rows:
-        r["backend"] = jax.default_backend()
-        print(json.dumps(r))
     if args.save:
         import os
 

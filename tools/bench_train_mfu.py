@@ -15,48 +15,91 @@ Appends evidence to artifacts/mfu.jsonl when --save is passed.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_PEAK_BF16 = 197e12
 
 
-def _timed(fn, args, reps=4):
-    out = fn(*args)
-    lf = float(jax_leaf_scalar(out))  # compile + fence
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        lf = float(jax_leaf_scalar(out))
-        best = min(best, time.perf_counter() - t0)
-    assert np.isfinite(lf)
-    return best
-
-
-def jax_leaf_scalar(tree):
+def _scan_diff_encoder(enc_fn, led_params, ids, mask, gmask,
+                       t_short=2, t_long=6, reps=3):
+    """Per-call seconds via the CLAUDE.md axon recipe: loop the forward
+    inside one jitted lax.scan (per-iteration token roll defeats both CSE
+    and tunnel memoization), fence on a scalar, and difference two scan
+    lengths to cancel the ~30 ms per-dispatch RPC constant."""
     import jax
+    import jax.numpy as jnp
 
-    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "ndim")]
-    x = leaves[0]
-    return x.reshape(-1)[0]
+    def make(T):
+        @jax.jit
+        def multi(p, i0, m, g, shift):
+            def body(c, i):
+                out = enc_fn(p, jnp.roll(i0, shift + i, axis=1), m, g)
+                return c + out[0, 0, 0].astype(jnp.float32), None
+
+            return jax.lax.scan(body, 0.0, jnp.arange(T))[0]
+
+        return multi
+
+    def timed(T):
+        f = make(T)
+        float(f(led_params, ids, mask, gmask, 0))  # compile + drain
+        best = 1e9
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(f(led_params, ids, mask, gmask, r + 1))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ts, tl = timed(t_short), timed(t_long)
+    return max((tl - ts) / (t_long - t_short), 1e-9)
 
 
-def _timed_train_step(step, state, store, batch, reps=4):
-    """Train steps donate ``state`` — thread it through and fence on the
-    loss scalar each call."""
-    state, metrics = step(state, store, batch, None)
-    assert np.isfinite(float(metrics["loss"]))
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        state, metrics = step(state, store, batch, None)
-        _ = float(metrics["loss"])
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _scan_diff_train_step(step, state, store, batch,
+                          t_short=2, t_long=6, reps=3):
+    """Same recipe for the train step: scan the (inlined) jitted step so a
+    whole T-step chain is one dispatch; params/opt-state change every
+    iteration so nothing folds. ``shift`` rolls the tokens per rep to
+    defeat tunnel memoization of identical top-level executions."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(T):
+        @jax.jit
+        def multi(st, store_, batch_, shift):
+            def body(s, i):
+                b2 = dict(batch_)
+                b2["input_ids"] = jnp.roll(
+                    batch_["input_ids"], shift + i, axis=1
+                )
+                s, m = step(s, store_, b2, None)
+                return s, m["loss"]
+
+            _, losses = jax.lax.scan(body, st, jnp.arange(T))
+            return losses[-1]
+
+        return multi
+
+    def timed(T):
+        f = make(T)
+        ls = float(f(state, store, batch, 0))  # compile + drain
+        assert np.isfinite(ls)
+        best = 1e9
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(f(state, store, batch, r + 1))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ts, tl = timed(t_short), timed(t_long)
+    return max((tl - ts) / (t_long - t_short), 1e-9)
 
 
 def main():
@@ -70,6 +113,9 @@ def main():
                     help="also measure the 16k-token encoder forward")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--save", action="store_true")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="measure only the encoder (split slow compiles "
+                    "across invocations)")
     args = ap.parse_args()
 
     import jax
@@ -141,45 +187,56 @@ def main():
     state = TrainState.create(params, tx)
     step = make_train_step(cfg, tx, hyper, dtype=jnp.bfloat16)
 
-    # FLOPs from XLA's cost model for the exact compiled step
-    compiled = step.lower(state, store, batch, None).compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops = float(ca.get("flops", 0.0))
-
-    t_step = _timed_train_step(step, state, store, batch)
-
     records = []
-    mfu = flops / t_step / V5E_PEAK_BF16
-    records.append({
-        "bench": "rag_train_step",
-        "batch": b, "src": s, "tgt": t,
-        "memory": args.mem_k * args.mem_len,
-        "step_ms": round(t_step * 1e3, 2),
-        "xla_flops": flops,
-        "mfu_pct_v5e_bf16": round(100 * mfu, 2),
-        "backend": jax.default_backend(),
-    })
-
+    # enc16k FIRST: the train step donates `state` (and with it `params`),
+    # so the encoder must be measured before the buffers are consumed.
+    # params go in as a jit ARG, not a closure constant (the remote compile
+    # server rejects large constant payloads).
     if args.enc16k and not args.tiny:
         s16 = 16384
         ids16 = jnp.asarray(rng.integers(4, v - 2, (1, s16)), jnp.int32)
         mask16 = jnp.ones((1, s16), jnp.int32)
         gmask = jnp.zeros((1, s16), jnp.int32).at[:, 0].set(1)
-        enc_fn = jax.jit(functools.partial(
-            led_encode, params["led"], cfg.led, dtype=jnp.bfloat16
-        ))
-        low = enc_fn.lower(ids16, mask16, gmask)
+
+        @jax.jit
+        def enc_fn(p, i, m, g):
+            return led_encode(p, cfg.led, i, m, g, dtype=jnp.bfloat16)
+
+        low = enc_fn.lower(params["led"], ids16, mask16, gmask)
         ca2 = low.compile().cost_analysis()
         ca2 = ca2[0] if isinstance(ca2, (list, tuple)) else ca2
         f2 = float(ca2.get("flops", 0.0))
-        t2 = _timed(enc_fn, (ids16, mask16, gmask))
+        t2 = _scan_diff_encoder(enc_fn, params["led"], ids16, mask16, gmask)
         records.append({
             "bench": "led_encoder_16k_fwd",
             "step_ms": round(t2 * 1e3, 2),
             "xla_flops": f2,
             "mfu_pct_v5e_bf16": round(100 * f2 / t2 / V5E_PEAK_BF16, 2),
             "backend": jax.default_backend(),
+            "note": "XLA cost model excludes Pallas custom-call flops; "
+                    "MFU is a lower bound",
+        })
+
+    if not args.skip_train:
+        # FLOPs from XLA's cost model for the exact compiled step
+        compiled = step.lower(state, store, batch, None).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+
+        t_step = _scan_diff_train_step(step, state, store, batch)
+
+        mfu = flops / t_step / V5E_PEAK_BF16
+        records.append({
+            "bench": "rag_train_step",
+            "batch": b, "src": s, "tgt": t,
+            "memory": args.mem_k * args.mem_len,
+            "step_ms": round(t_step * 1e3, 2),
+            "xla_flops": flops,
+            "mfu_pct_v5e_bf16": round(100 * mfu, 2),
+            "backend": jax.default_backend(),
+            "note": "XLA cost model excludes Pallas custom-call flops; "
+                    "MFU is a lower bound",
         })
 
     for r in records:

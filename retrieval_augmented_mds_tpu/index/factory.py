@@ -9,7 +9,8 @@ engines so existing configs keep working:
   * "Flat"          → FlatIndex (exact fused-kernel search)
   * "IVF<n>,Flat"   → IVFIndex with n clusters
   * "IVF<n>,SQ8"    → IVFIndex with n clusters and int8 scalar-quantized
-                      payloads (per-row scales; ivf.py:164-175)
+                      payloads (per-row scales, quantized before the
+                      invlist scatter; ivf.py:_pack_device)
   * "IVF<n>_HNSW32,Flat" → IVFIndex with n clusters (the HNSW coarse
                       quantizer accelerates CPU centroid lookup; on the MXU
                       the exact centroid scan is a single small matmul, so

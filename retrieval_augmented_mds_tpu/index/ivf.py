@@ -280,6 +280,49 @@ def _union_pad(flat_ids: jax.Array, cap: int, sentinel: int) -> jax.Array:
     return jnp.sort(keyed)[:cap]
 
 
+def _scan_all_clusters(index: IVFIndex, q: jax.Array, k: int, ignore):
+    """Exact search over the clustered layout, no gather: the [C, L, D]
+    payload viewed as one [C*L, D] corpus (free reshape — row-major
+    contiguous) plus the spill, each scanned by the fused flat kernel and
+    merged by top-k. Used when the batch's probe union would cover every
+    cluster anyway (B·nprobe ≥ C — the training shape): gathering the
+    union reads the whole corpus AND writes a copy, so the direct scan is
+    strictly faster and recall becomes exact (≥ any nprobe)."""
+    c, L, d_pad = index.clustered.shape
+    extra = ignore.shape[1] if ignore is not None else 0
+    kk = k + extra
+
+    corpus = index.clustered.reshape(c * L, d_pad)
+    bias = index.clustered_bias.reshape(-1)
+    ids = index.clustered_ids.reshape(-1)
+    scale = (
+        index.clustered_scale.reshape(-1)
+        if index.clustered_scale is not None else None
+    )
+    v1, p1 = mips_topk(q, corpus, kk, bias, None, scale)
+    g1 = jnp.where(p1 >= 0, jnp.take(ids, jnp.maximum(p1, 0)), -1)
+
+    k2 = min(kk, index.spill.shape[0])
+    v2, p2 = mips_topk(
+        q, index.spill, k2, index.spill_bias, None, index.spill_scale
+    )
+    g2 = jnp.where(
+        p2 >= 0, jnp.take(index.spill_ids, jnp.maximum(p2, 0)), -1
+    )
+
+    vals = jnp.concatenate([v1, v2], axis=-1)
+    gids = jnp.concatenate([g1, g2], axis=-1)
+    if ignore is not None:
+        bad = (
+            gids[:, :, None] == ignore[:, None, :].astype(jnp.int32)
+        ).any(-1)
+        vals = jnp.where(bad, NEG_INF, vals)
+    vals, order = jax.lax.top_k(vals, k)
+    got = jnp.take_along_axis(gids, order, axis=-1)
+    got = jnp.where(vals > NEG_INF / 2, got, -1)
+    return vals, got
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search(
     index: IVFIndex,
@@ -299,6 +342,11 @@ def ivf_search(
 
     c = index.n_clusters
     nprobe = min(nprobe, c)
+    if b * nprobe >= c:
+        # training-shape route: measured on v5e @ N=131k, B=256, IVF256:
+        # union-probe 5.19 ms vs direct scan ≈ flat 0.72 ms, equal recall
+        return _scan_all_clusters(index, q, k, ignore)
+
     # coarse probe: top-nprobe centroids per query
     cscores = q @ index.centroids.T + index.centroid_bias[None, :]
     _, probe = jax.lax.top_k(cscores, nprobe)  # [B, nprobe]

@@ -243,3 +243,29 @@ def test_sharded_ivf_ignore_self_exclusion():
         np.sort(np.asarray(v_ref), -1), np.sort(np.asarray(v_s), -1),
         rtol=1e-5,
     )
+
+
+def test_scan_all_route_is_exact():
+    """When B*nprobe >= C the search routes to a direct scan of the
+    clustered layout (no union gather) — results must equal brute-force
+    exact search, including overflow rows in the spill buffer."""
+    x = _clustered_data(n=1024, d=32, n_true=2, seed=30)  # heavy spill
+    rng = np.random.default_rng(31)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=8, dtype=jnp.float32, alpha=1.0)
+    assert int(np.asarray(idx.spill_ids >= 0).sum()) > 0  # spill engaged
+
+    ref = np.argsort(-(q @ x.T), -1)[:, :7]
+    _, ids = ivf_search(idx, jnp.asarray(q), k=7, nprobe=8)  # 128 >= 8
+    assert np.array_equal(np.sort(np.asarray(ids), -1), np.sort(ref, -1))
+
+
+def test_scan_all_route_honors_ignore():
+    x = _clustered_data(n=512, d=32, seed=32)
+    q = x[:6]
+    idx = build_ivf_index(x, n_clusters=8, dtype=jnp.float32)
+    ignore = jnp.asarray(np.arange(6, dtype=np.int32)[:, None])
+    _, ids = ivf_search(idx, jnp.asarray(q), k=5, nprobe=8, ignore=ignore)
+    ids = np.asarray(ids)
+    for r in range(6):
+        assert r not in set(ids[r])

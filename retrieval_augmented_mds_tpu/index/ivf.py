@@ -522,28 +522,40 @@ def ivf_search_sharded(
     n_shards = mesh.shape[SHARD_AXIS]
     c_local = c // n_shards
     cap = min(c_local, b * nprobe)
+    # same routing predicate as the unsharded `ivf_search` (results must
+    # match it exactly — DP-invariance): at training shapes the probe
+    # union covers every cluster, so each shard scans its local payload
+    # in place instead of gathering the union
+    scan_all = b * nprobe >= c
 
     def local(probe, clustered, cids, cbias, cscale):
-        sid = jax.lax.axis_index(SHARD_AXIS)
-        lo = sid * c_local
-        mine = (probe - lo).reshape(-1)  # local ids; out-of-range → not mine
-        flat = jnp.where((mine >= 0) & (mine < c_local), mine, c_local)
-        union = _union_pad(flat, cap, sentinel=c_local)
-        ok = union < c_local
-        safe = jnp.where(ok, union, 0)
-        sub = jnp.take(clustered, safe, axis=0)
-        sub_ids = jnp.take(cids, safe, axis=0)
-        sub_bias = jnp.where(
-            ok[:, None], jnp.take(cbias, safe, axis=0), NEG_INF
-        )
-        L = sub.shape[1]
-        corpus = sub.reshape(cap * L, d_pad)
-        bias = sub_bias.reshape(-1)
-        scale = None
-        if cscale is not None:
-            scale = jnp.take(cscale, safe, axis=0).reshape(-1)
+        if scan_all:
+            L = clustered.shape[1]
+            corpus = clustered.reshape(c_local * L, d_pad)
+            bias = cbias.reshape(-1)
+            flat_ids = cids.reshape(-1)
+            scale = None if cscale is None else cscale.reshape(-1)
+        else:
+            sid = jax.lax.axis_index(SHARD_AXIS)
+            lo = sid * c_local
+            mine = (probe - lo).reshape(-1)  # local ids; OOR → not mine
+            flat = jnp.where((mine >= 0) & (mine < c_local), mine, c_local)
+            union = _union_pad(flat, cap, sentinel=c_local)
+            ok = union < c_local
+            safe = jnp.where(ok, union, 0)
+            sub = jnp.take(clustered, safe, axis=0)
+            sub_bias = jnp.where(
+                ok[:, None], jnp.take(cbias, safe, axis=0), NEG_INF
+            )
+            L = sub.shape[1]
+            corpus = sub.reshape(cap * L, d_pad)
+            bias = sub_bias.reshape(-1)
+            flat_ids = jnp.take(cids, safe, axis=0).reshape(-1)
+            scale = None
+            if cscale is not None:
+                scale = jnp.take(cscale, safe, axis=0).reshape(-1)
         vals, pos = mips_topk(q, corpus, k_fetch, bias, None, scale)
-        ids = jnp.take(sub_ids.reshape(-1), jnp.maximum(pos, 0))
+        ids = jnp.take(flat_ids, jnp.maximum(pos, 0))
         ids = jnp.where(pos >= 0, ids, -1)
         vals_s = jax.lax.all_gather(vals, SHARD_AXIS)
         ids_s = jax.lax.all_gather(ids, SHARD_AXIS)

@@ -81,7 +81,11 @@ def led_encode(
     *,
     dtype=jnp.float32,
     remat: bool = False,
+    seq_mesh=None,  # sequence parallelism over the mesh "shard" axis
 ) -> jax.Array:
+    """16k-token LED encoder; with ``seq_mesh`` the sequence dimension is
+    sharded over the mesh (ops/seq_attention.py — SURVEY.md §2.2's owed
+    sequence-sharding story; the reference has no equivalent)."""
     b, s = ids.shape
     if global_mask is None:
         global_mask = jnp.zeros_like(padding_mask).at[:, 0].set(1)
@@ -92,11 +96,28 @@ def led_encode(
     )
     x = layernorm(params["enc_emb_ln"], x)
 
-    def layer_fn(x, lp):
-        a = sliding_global_attention(
-            lp["attn"], x, cfg.n_heads, cfg.window, global_mask,
-            padding_mask, cfg.max_globals,
+    if seq_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.seq_attention import sliding_global_attention_seqsharded
+        from ..parallel.mesh import DATA_AXIS, SHARD_AXIS
+
+        da = DATA_AXIS if DATA_AXIS in seq_mesh.shape else None
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(seq_mesh, P(da, SHARD_AXIS, None))
         )
+
+    def layer_fn(x, lp):
+        if seq_mesh is not None:
+            a = sliding_global_attention_seqsharded(
+                lp["attn"], x, cfg.n_heads, cfg.window, global_mask,
+                padding_mask, cfg.max_globals, seq_mesh,
+            )
+        else:
+            a = sliding_global_attention(
+                lp["attn"], x, cfg.n_heads, cfg.window, global_mask,
+                padding_mask, cfg.max_globals,
+            )
         x = layernorm(lp["attn_ln"], x + a)
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
 

@@ -71,8 +71,15 @@ def longformer_encode(
     *,
     dtype=jnp.float32,
     remat: bool = False,
+    seq_mesh=None,  # sequence parallelism: shard T over mesh "shard" axis
 ) -> jax.Array:
-    """Returns hidden states [B, T, H]. CLS pooling = out[:, 0]."""
+    """Returns hidden states [B, T, H]. CLS pooling = out[:, 0].
+
+    With ``seq_mesh``, attention runs sequence-sharded over the mesh's
+    ``shard`` axis (ops/seq_attention.py: ppermute halos + G-sized psum
+    globals); everything else is per-token, so XLA partitions it from
+    the activation sharding constraint alone.
+    """
     b, t = ids.shape
     if global_mask is None:
         # global attention on <s> (reference mips.py:124-126)
@@ -88,11 +95,28 @@ def longformer_encode(
         x = x + params["type_emb"]["table"][0].astype(x.dtype)
     x = layernorm(params["emb_ln"], x)
 
+    seq_constraint = None
+    if seq_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.seq_attention import sliding_global_attention_seqsharded
+        from ..parallel.mesh import DATA_AXIS, SHARD_AXIS
+
+        da = DATA_AXIS if DATA_AXIS in seq_mesh.shape else None
+        seq_constraint = NamedSharding(seq_mesh, P(da, SHARD_AXIS, None))
+        x = jax.lax.with_sharding_constraint(x, seq_constraint)
+
     def layer_fn(x, lp):
-        a = sliding_global_attention(
-            lp["attn"], x, cfg.n_heads, cfg.window, global_mask,
-            padding_mask, cfg.max_globals,
-        )
+        if seq_mesh is not None:
+            a = sliding_global_attention_seqsharded(
+                lp["attn"], x, cfg.n_heads, cfg.window, global_mask,
+                padding_mask, cfg.max_globals, seq_mesh,
+            )
+        else:
+            a = sliding_global_attention(
+                lp["attn"], x, cfg.n_heads, cfg.window, global_mask,
+                padding_mask, cfg.max_globals,
+            )
         x = layernorm(lp["attn_ln"], x + a)
         f = ffn(lp["ffn"], x)
         if "adapter" in lp:

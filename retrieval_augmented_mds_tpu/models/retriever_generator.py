@@ -83,6 +83,10 @@ class RAGConfig:
     memory_encoder_weights: str | None = None
     adapter_name: str | None = None  # SPECTER2 adapter in the state_dict
     encoder_state_path: str | None = None  # encoders.npz from pretrain-retriever
+    # sequence parallelism for the main LED encoder: shard the (16k) token
+    # axis over the mesh "shard" axis (ops/seq_attention.py). No reference
+    # equivalent — SURVEY.md §2.2's owed sequence-sharding story.
+    sequence_shard: bool = False
 
     def frozen_groups(self) -> tuple[str, ...]:
         """Freeze policy → param groups (reference setup freeze logic,
@@ -360,6 +364,7 @@ def rag_encode(
     enc_hidden = led_encode(
         params["led"], cfg.led, input_ids, enc_mask, global_mask,
         dtype=dtype, remat=remat,
+        seq_mesh=mesh if (cfg.sequence_shard and mesh is not None) else None,
     )
     return RAGEncoderOutput(
         enc_hidden=enc_hidden,

@@ -201,7 +201,12 @@ def build_ivf_index(
     metric: str = "ip",
     normalize: bool = False,
     dtype=jnp.bfloat16,
-    alpha: float = 2.0,  # cluster capacity = alpha * N / C (tile-rounded)
+    alpha: float = 1.5,  # cluster capacity = alpha * N / C (tile-rounded).
+    # Padding is pure overhead for the always-scanned layouts (the
+    # scan-all route and the serving kernel's per-probe DMA read α·N/C
+    # rows per cluster); overflow rows land in the always-probed spill
+    # buffer, so recall is unaffected. 1.5 balances padding bandwidth
+    # against spill growth on k-means-balanced corpora.
     train_size: int | None = None,  # reference mips_train_size (config :53)
     iters: int = 15,
     seed: int = 0,

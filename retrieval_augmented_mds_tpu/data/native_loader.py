@@ -73,15 +73,20 @@ def native_batches(
     *,
     n_slots: int = 3,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Yield batches `{k: examples[k][order[i:i+batch_size]]}` assembled by
-    the native worker. ``order`` must already be trimmed to a multiple of
+    """Return an iterator of batches
+    `{k: examples[k][order[i:i+batch_size]]}` assembled by the native
+    worker. ``order`` must already be trimmed to a multiple of
     ``batch_size`` (drop_last semantics live in the caller).
 
-    Yielded arrays are views into Python-owned ring-slot buffers: their
-    CONTENTS are stable until the next iteration overwrites the slot
-    (torch-DataLoader pinned-buffer semantics — the training loop copies
-    to device immediately), but the memory itself outlives the loader,
-    so a view taken from an abandoned iterator never dangles.
+    Environment-dependent setup (building/loading the shared library,
+    pinning the field pointers) happens HERE, so an unusable toolchain
+    raises at call time — before the caller has consumed any batch.
+
+    Yielded arrays are fresh copies of the ring-slot contents: the slot
+    is released back to the worker as soon as the copy is taken, so a
+    consumer may retain batches arbitrarily long or hand them to an
+    asynchronous device transfer (PJRT does not promise a synchronous
+    host-buffer copy) without ever observing a refilled slot.
     """
     lib = _load()
     keys = sorted(examples.keys())
@@ -115,25 +120,26 @@ def native_batches(
         ]
     )
 
-    handle = lib.batch_loader_create(
-        field_ptrs, row_nbytes, len(arrs), n_rows,
-        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(order),
-        batch_size, n_slots, slot_ptrs,
-    )
-    if not handle:
-        raise RuntimeError("batch_loader_create failed (bad arguments)")
-    try:
-        n_batches = lib.batch_loader_n_batches(handle)
-        prev_slot = -1
-        for _ in range(n_batches):
-            slot = lib.batch_loader_next(handle)
-            if slot < 0:
-                break
-            if prev_slot >= 0:
-                lib.batch_loader_release(handle, prev_slot)
-            yield {k: slots[slot][f] for f, k in enumerate(keys)}
-            prev_slot = slot
-        if prev_slot >= 0:
-            lib.batch_loader_release(handle, prev_slot)
-    finally:
-        lib.batch_loader_destroy(handle)
+    def _run():
+        # `arrs`/`order`/`slots` are closed over, keeping every buffer the
+        # C++ worker touches alive for the generator's lifetime.
+        handle = lib.batch_loader_create(
+            field_ptrs, row_nbytes, len(arrs), n_rows,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(order),
+            batch_size, n_slots, slot_ptrs,
+        )
+        if not handle:
+            raise RuntimeError("batch_loader_create failed (bad arguments)")
+        try:
+            n_batches = lib.batch_loader_n_batches(handle)
+            for _ in range(n_batches):
+                slot = lib.batch_loader_next(handle)
+                if slot < 0:
+                    break
+                batch = {k: slots[slot][f].copy() for f, k in enumerate(keys)}
+                lib.batch_loader_release(handle, slot)
+                yield batch
+        finally:
+            lib.batch_loader_destroy(handle)
+
+    return _run()

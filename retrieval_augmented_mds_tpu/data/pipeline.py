@@ -324,13 +324,15 @@ class RAGDataModule:
         trimmed = order[:stop]
 
         if native is not False and stop > 0 and stop % batch_size == 0:
+            # Only loader CREATION is guarded (native_batches does its
+            # environment-dependent setup before returning); an error once
+            # batches are flowing propagates rather than silently
+            # restarting the epoch with duplicate batches.
+            gen = None
             try:
                 from .native_loader import native_batches
 
-                yield from native_batches(
-                    self.examples, trimmed, batch_size
-                )
-                return
+                gen = native_batches(self.examples, trimmed, batch_size)
             except Exception as e:  # pragma: no cover - toolchain-dependent
                 if native is True:
                     raise
@@ -343,6 +345,9 @@ class RAGDataModule:
                         "using Python gather", file=sys.stderr,
                     )
                     _NATIVE_WARNED = True
+            if gen is not None:
+                yield from gen
+                return
 
         for i in range(0, stop, batch_size):
             sel = order[i : i + batch_size]

@@ -70,6 +70,18 @@ def build_index_from_factory(
         if n_shards > 1:
             # cluster-partitioned placement needs C % shards == 0
             n_clusters = max(n_shards, (n_clusters // n_shards) * n_shards)
+    if n_clusters != p["n_clusters"]:
+        # the factory string's cluster count was adjusted (corpus too
+        # small, or rounded to the shard count) — say so instead of
+        # silently deviating from the config
+        import sys
+
+        print(
+            f"[index] factory {spec!r}: effective n_clusters="
+            f"{n_clusters} (requested {p['n_clusters']}; "
+            f"corpus={len(embeddings)}, shards={n_shards})",
+            file=sys.stderr,
+        )
     payload_dtype = "int8" if p["payload"] == "sq8" else dtype
     index = build_ivf_index(
         embeddings, n_clusters, metric=metric, normalize=normalize,

@@ -313,11 +313,19 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
         gather = (jnp.arange(b)[:, None] * beams + alive_beam).reshape(-1)
         seqs = seqs[gather].reshape(bb, t_max + 1)
         seqs = seqs.at[:, t + 1].set(alive_tok.reshape(-1))
-        # beam reorder touches ONLY the self-attention K/V (the [bb, ...]
-        # leaves); cross-attention ck/cv stay [b, ...] and beam-invariant
+        # beam reorder touches every beam-laid-out leaf (leading dim bb),
+        # selected by SHAPE so future cache entries (e.g. a copy-head
+        # cache) are reordered too; cross-attention ck/cv are [b, ...]
+        # beam-invariant and excluded by name in case b == bb elsewhere
         caches = [
             {
-                kk: (vv[gather] if kk in ("k", "v") else vv)
+                kk: (
+                    vv[gather]
+                    if kk not in ("ck", "cv")
+                    and getattr(vv, "ndim", 0) >= 1
+                    and vv.shape[0] == bb
+                    else vv
+                )
                 for kk, vv in layer.items()
             }
             for layer in new_caches

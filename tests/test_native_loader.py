@@ -35,24 +35,46 @@ def test_matches_python_gather():
     rng = np.random.default_rng(1)
     order = rng.permutation(52)  # 13 batches of 4
     assert len(list(native_batches(ex, order, 4))) == 13
-    # batch buffers are a reused ring of 3, so compare batch-by-batch
     for i, b in enumerate(native_batches(ex, order, 4)):
         sel = order[i * 4 : (i + 1) * 4]
         for k, v in ex.items():
             assert np.array_equal(b[k], v[sel]), (i, k)
 
 
-def test_abandoned_iterator_views_stay_valid():
+def test_retained_batches_never_alias_ring_slots():
+    # Yielded batches are copies: holding every batch across the whole
+    # epoch (as an async device transfer might) must not observe slot
+    # refills. With only 3 ring slots, aliasing would corrupt batch 0 by
+    # the time batch 3 is produced.
+    ex = _examples()
+    rng = np.random.default_rng(2)
+    order = rng.permutation(52)
+    held = list(native_batches(ex, order, 4))
+    for i, b in enumerate(held):
+        sel = order[i * 4 : (i + 1) * 4]
+        for k, v in ex.items():
+            assert np.array_equal(b[k], v[sel]), (i, k)
+
+
+def test_abandoned_iterator_batches_stay_valid():
     ex = _examples()
     order = np.arange(52)
     it = native_batches(ex, order, 4)
     first = next(it)
-    del it  # generator GC -> loader destroyed; buffers are numpy-owned
+    del it  # generator GC -> loader destroyed; yielded copies unaffected
     import gc
 
     gc.collect()
     for k, v in ex.items():
         assert np.array_equal(first[k], v[:4]), k
+
+
+def test_setup_errors_raise_at_call_time():
+    # Creation-time failures must surface before the first batch is
+    # consumed (pipeline.batches narrows its fallback guard to creation).
+    ex = _examples()
+    with pytest.raises(Exception):
+        native_batches(ex, np.arange(5), 4)  # not a multiple of batch_size
 
 
 def test_pipeline_batches_native_equals_python():

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.mips_topk import NEG_INF, mips_topk
-from .flat import _round_up
+from .flat import FlatIndex, _round_up, build_flat_index
+from .flat import search as flat_search
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +105,17 @@ class IVFIndex:
     normalized: bool = dataclasses.field(metadata=dict(static=True))
     clustered_scale: jax.Array | None = None  # [C, L] f32 (SQ8 payloads)
     spill_scale: jax.Array | None = None  # [S] f32
+    # Optional flat sibling of the same payload (original row order): the
+    # scan-all route (B·nprobe ≥ C — the training shape) delegates to the
+    # fused flat kernel over it, skipping the clustered layout's α·N
+    # padding overhead entirely. Kept only when the payload is small
+    # enough that duplicating it is cheap (build_ivf_index keep_flat).
+    flat: FlatIndex | None = None
+    # exact overflow-row count from packing; 0 ⇒ spill scans are skipped
+    # (-1 = unknown, e.g. indexes loaded from old saves)
+    n_spill: int = dataclasses.field(
+        default=-1, metadata=dict(static=True)
+    )
 
     @property
     def n_clusters(self) -> int:
@@ -211,6 +223,10 @@ def build_ivf_index(
     iters: int = 15,
     seed: int = 0,
     spill_cap: int | None = None,  # static overflow capacity
+    keep_flat: bool | None = None,  # also keep a flat payload copy; None =
+    # auto (payload ≤ 384 MB). Training-shape searches (B·nprobe ≥ C)
+    # then run at flat-kernel speed instead of scanning the padded
+    # clustered layout (measured v5e @ N=131k, B=256: 1.52 → 0.67 ms).
 ) -> IVFIndex:
     x = jnp.asarray(embeddings, jnp.float32)
     n, d = x.shape
@@ -256,6 +272,18 @@ def build_ivf_index(
     else:
         cent_bias = jnp.zeros((n_clusters,), jnp.float32)
 
+    if keep_flat is None:
+        itemsize = 1 if sq8 else jnp.dtype(dtype).itemsize
+        keep_flat = n * d_pad * itemsize <= 384 * 2**20
+    flat = None
+    if keep_flat:
+        # x is already normalized above when requested; the sibling must
+        # not re-normalize, but must normalize queries iff we did
+        flat = dataclasses.replace(
+            build_flat_index(x, metric=metric, normalize=False, dtype=dtype),
+            normalized=normalize,
+        )
+
     return IVFIndex(
         centroids=cent_pad,
         centroid_bias=cent_bias,
@@ -270,6 +298,8 @@ def build_ivf_index(
         n=n,
         metric=metric,
         normalized=normalize,
+        flat=flat,
+        n_spill=int(n_over_packed),
     )
 
 
@@ -307,16 +337,19 @@ def _scan_all_clusters(index: IVFIndex, q: jax.Array, k: int, ignore):
     v1, p1 = mips_topk(q, corpus, kk, bias, None, scale)
     g1 = jnp.where(p1 >= 0, jnp.take(ids, jnp.maximum(p1, 0)), -1)
 
-    k2 = min(kk, index.spill.shape[0])
-    v2, p2 = mips_topk(
-        q, index.spill, k2, index.spill_bias, None, index.spill_scale
-    )
-    g2 = jnp.where(
-        p2 >= 0, jnp.take(index.spill_ids, jnp.maximum(p2, 0)), -1
-    )
-
-    vals = jnp.concatenate([v1, v2], axis=-1)
-    gids = jnp.concatenate([g1, g2], axis=-1)
+    if index.n_spill == 0:
+        # packing proved the spill buffer empty — skip its scan + merge
+        vals, gids = v1, g1
+    else:
+        k2 = min(kk, index.spill.shape[0])
+        v2, p2 = mips_topk(
+            q, index.spill, k2, index.spill_bias, None, index.spill_scale
+        )
+        g2 = jnp.where(
+            p2 >= 0, jnp.take(index.spill_ids, jnp.maximum(p2, 0)), -1
+        )
+        vals = jnp.concatenate([v1, v2], axis=-1)
+        gids = jnp.concatenate([g1, g2], axis=-1)
     if ignore is not None:
         bad = (
             gids[:, :, None] == ignore[:, None, :].astype(jnp.int32)
@@ -339,17 +372,26 @@ def ivf_search(
     """Probed search. Returns (scores [B, k] f32, doc ids [B, k] int32)."""
     b, d = queries.shape
     d_pad = index.dim
+    c = index.n_clusters
+    nprobe_eff = min(nprobe, c)
+    if b * nprobe_eff >= c and index.flat is not None:
+        # training-shape route over the flat sibling payload: exact, and
+        # skips the clustered layout's α·N padding (1.52 → 0.67 ms @
+        # N=131k, B=256 on v5e); ids are original row order, so results
+        # are identical to a flat index over the same payload
+        return flat_search(index.flat, queries, k=k, ignore=ignore)
+
     q = queries.astype(jnp.float32)
     if index.normalized and index.metric == "ip":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
     if d != d_pad:
         q = jnp.zeros((b, d_pad), q.dtype).at[:, :d].set(q)
 
-    c = index.n_clusters
-    nprobe = min(nprobe, c)
+    nprobe = nprobe_eff
     if b * nprobe >= c:
-        # training-shape route: measured on v5e @ N=131k, B=256, IVF256:
-        # union-probe 5.19 ms vs direct scan ≈ flat 0.72 ms, equal recall
+        # training-shape route without a flat sibling (huge corpora):
+        # direct scan of the clustered layout (5.19 → 1.52 ms vs
+        # union-probe @ N=131k, B=256, IVF256; exact recall)
         return _scan_all_clusters(index, q, k, ignore)
 
     # coarse probe: top-nprobe centroids per query
@@ -367,15 +409,27 @@ def ivf_search(
     sub_bias = jnp.where(in_union[:, None], sub_bias, NEG_INF)
 
     L = sub.shape[1]
-    corpus = jnp.concatenate(
-        [sub.reshape(cap * L, d_pad), index.spill.astype(sub.dtype)], axis=0
-    )
-    bias = jnp.concatenate([sub_bias.reshape(-1), index.spill_bias])
-    ids = jnp.concatenate([sub_ids.reshape(-1), index.spill_ids])
-    scale = None
-    if index.clustered_scale is not None:
-        sub_scale = jnp.take(index.clustered_scale, safe, axis=0)
-        scale = jnp.concatenate([sub_scale.reshape(-1), index.spill_scale])
+    if index.n_spill == 0:
+        # spill proven empty at packing — search the union alone
+        corpus = sub.reshape(cap * L, d_pad)
+        bias = sub_bias.reshape(-1)
+        ids = sub_ids.reshape(-1)
+        scale = None
+        if index.clustered_scale is not None:
+            scale = jnp.take(
+                index.clustered_scale, safe, axis=0
+            ).reshape(-1)
+    else:
+        corpus = jnp.concatenate(
+            [sub.reshape(cap * L, d_pad), index.spill.astype(sub.dtype)],
+            axis=0,
+        )
+        bias = jnp.concatenate([sub_bias.reshape(-1), index.spill_bias])
+        ids = jnp.concatenate([sub_ids.reshape(-1), index.spill_ids])
+        scale = None
+        if index.clustered_scale is not None:
+            sub_scale = jnp.take(index.clustered_scale, safe, axis=0)
+            scale = jnp.concatenate([sub_scale.reshape(-1), index.spill_scale])
 
     ign = None
     if ignore is not None:
@@ -416,6 +470,10 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
         arrays["clustered_scale"] = np.asarray(index.clustered_scale)
         arrays["spill_scale"] = np.asarray(index.spill_scale)
     np.savez(os.path.join(path, "ivf.npz"), **arrays)
+    if index.flat is not None:
+        from .flat import save_flat_index
+
+        save_flat_index(index.flat, os.path.join(path, "flat"))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -424,6 +482,7 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
                 "metric": index.metric,
                 "normalized": index.normalized,
                 "payload_dtype": str(index.clustered.dtype),
+                "n_spill": index.n_spill,
             },
             f,
         )
@@ -448,9 +507,14 @@ def load_ivf_index(path: str) -> IVFIndex:
     if "clustered_scale" in data:
         kw["clustered_scale"] = jnp.asarray(data["clustered_scale"])
         kw["spill_scale"] = jnp.asarray(data["spill_scale"])
+    flat_dir = os.path.join(path, "flat")
+    if os.path.isdir(flat_dir):
+        from .flat import load_flat_index
+
+        kw["flat"] = load_flat_index(flat_dir)
     return IVFIndex(
         n=meta["n"], metric=meta["metric"], normalized=meta["normalized"],
-        **kw,
+        n_spill=meta.get("n_spill", -1), **kw,
     )
 
 
@@ -483,6 +547,10 @@ def shard_ivf_index(index: IVFIndex, mesh) -> IVFIndex:
         spill_scale=None if index.spill_scale is None
         else put(index.spill_scale, P()),
         n=index.n, metric=index.metric, normalized=index.normalized,
+        # the sharded path scans its cluster partition in place; a
+        # replicated flat sibling would cost HBM on every chip for no win
+        flat=None,
+        n_spill=index.n_spill,
     )
 
 

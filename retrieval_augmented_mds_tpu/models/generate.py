@@ -224,8 +224,31 @@ def _greedy(params, cfg, enc_out, opts: GenerationOptions, dtype, rng=None):
 
 
 def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
-    b = enc_out.enc_hidden.shape[0]
+    b_real = enc_out.enc_hidden.shape[0]
     beams = opts.num_beams
+    # Sublane alignment: the folded beam-batch axis (bb) is the second-to-
+    # minor dim of every per-step decode matmul; bb % 8 != 0 (e.g. the
+    # canonical serving shape B=1, beams=4 → bb=4) forces sub-tile shapes
+    # that decode ~2x slower than the aligned bb=8 (measured on v5e,
+    # artifacts/decode_bench.jsonl). Pad the BATCH with duplicate rows to
+    # the smallest b with b*beams % 8 == 0: beam search is independent per
+    # batch row, so results for the real rows are bit-identical; padded
+    # rows are sliced off at the end.
+    import math as _math
+
+    group = 8 // _math.gcd(beams, 8)
+    b = -(-b_real // group) * group
+    if b != b_real:
+        reps = b - b_real
+
+        def _pad_rows(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == b_real:
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[:1], reps, axis=0)], axis=0
+                )
+            return x
+
+        enc_out = jax.tree_util.tree_map(_pad_rows, enc_out)
     bb = b * beams
     t_max = opts.max_new_tokens
     pad, eos = cfg.led.pad_id, cfg.led.eos_id
@@ -347,7 +370,7 @@ def _beam(params, cfg, enc_out, opts: GenerationOptions, dtype):
         use_fin = use_fin | jnp.all(fin_scores > NEG / 2, axis=1)
     best_alive = seqs.reshape(b, beams, t_max + 1)[:, 0]
     best = jnp.where(use_fin[:, None], fin_seqs[:, 0], best_alive)
-    return best[:, 1:]
+    return best[:b_real, 1:]
 
 
 def copy_trace(

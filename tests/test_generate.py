@@ -281,3 +281,38 @@ def test_early_stopping_beam_runs():
     ids = np.asarray(out)
     assert ids.shape == (2, 8)
     assert (ids >= 0).all() and (ids < cfg.led.vocab_size).all()
+
+
+def test_beam_batch1_matches_row_of_batch2():
+    """The sublane-alignment batch padding inside _beam (bb%8 != 0 →
+    duplicate batch rows) must not change results: decoding one example
+    alone equals decoding it inside a larger batch (beam search is
+    independent per batch row)."""
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(3), cfg)
+    store = _store(cfg)
+    batch = _batch(cfg)
+    enc2 = _enc(cfg, params, store, batch)
+    opts = GenerationOptions(max_new_tokens=8, num_beams=4,
+                             no_repeat_ngram_size=3)
+    out2 = np.asarray(generate(params, cfg, enc2, opts))
+    for row in range(2):
+        one = {k: v[row : row + 1] for k, v in batch.items()}
+        enc1 = _enc(cfg, params, store, one)
+        out1 = np.asarray(generate(params, cfg, enc1, opts))
+        assert out1.shape[0] == 1
+        np.testing.assert_array_equal(out1[0], out2[row])
+
+
+def test_beam_odd_batch_padding():
+    """b=1, beams=3 → bb=3 pads to bb=24 (group 8); results unchanged."""
+    cfg = RAGConfig.tiny(mips_disabled=True)
+    params = init_rag(jax.random.PRNGKey(4), cfg)
+    batch = _batch(cfg)
+    enc2 = _enc(cfg, params, None, batch)
+    opts = GenerationOptions(max_new_tokens=6, num_beams=3)
+    out2 = np.asarray(generate(params, cfg, enc2, opts))
+    one = {k: v[:1] for k, v in batch.items()}
+    enc1 = _enc(cfg, params, None, one)
+    out1 = np.asarray(generate(params, cfg, enc1, opts))
+    np.testing.assert_array_equal(out1[0], out2[0])

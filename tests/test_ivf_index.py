@@ -269,3 +269,73 @@ def test_scan_all_route_honors_ignore():
     ids = np.asarray(ids)
     for r in range(6):
         assert r not in set(ids[r])
+
+
+def test_flat_sibling_route_matches_clustered_scan():
+    """Round-3 training-shape route: with the flat sibling payload the
+    scan-all search delegates to the flat kernel; results must equal the
+    clustered-layout direct scan (both exact) on the same build."""
+    x = _clustered_data(n=1024, d=32, seed=40)
+    rng = np.random.default_rng(41)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    with_flat = build_ivf_index(x, n_clusters=8, dtype=jnp.float32,
+                                seed=3, keep_flat=True)
+    no_flat = build_ivf_index(x, n_clusters=8, dtype=jnp.float32,
+                              seed=3, keep_flat=False)
+    assert with_flat.flat is not None and no_flat.flat is None
+    vf, idf = ivf_search(with_flat, jnp.asarray(q), k=7, nprobe=8)
+    vc, idc = ivf_search(no_flat, jnp.asarray(q), k=7, nprobe=8)
+    assert np.array_equal(np.sort(np.asarray(idf), -1),
+                          np.sort(np.asarray(idc), -1))
+    np.testing.assert_allclose(np.sort(np.asarray(vf), -1),
+                               np.sort(np.asarray(vc), -1), rtol=1e-5)
+
+
+def test_flat_sibling_route_honors_ignore():
+    x = _clustered_data(n=512, d=32, seed=42)
+    q = x[:6]
+    idx = build_ivf_index(x, n_clusters=8, dtype=jnp.float32, keep_flat=True)
+    assert idx.flat is not None
+    ignore = jnp.asarray(np.arange(6, dtype=np.int32)[:, None])
+    _, ids = ivf_search(idx, jnp.asarray(q), k=5, nprobe=8, ignore=ignore)
+    ids = np.asarray(ids)
+    for r in range(6):
+        assert r not in set(ids[r])
+
+
+def test_empty_spill_skipped_and_exact():
+    """alpha high enough that no cluster overflows → n_spill == 0; the
+    spill scan is skipped on both routes and results stay exact."""
+    x = _clustered_data(n=1024, d=32, seed=43)
+    rng = np.random.default_rng(44)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=4, dtype=jnp.float32, alpha=4.0,
+                          keep_flat=False)
+    assert idx.n_spill == 0
+    ref = np.argsort(-(q @ x.T), -1)[:, :5]
+    _, ids = ivf_search(idx, jnp.asarray(q), k=5, nprobe=4)  # scan-all
+    assert np.array_equal(np.sort(np.asarray(ids), -1), np.sort(ref, -1))
+    # union-probe route (B*nprobe < C impossible at C=4; rebuild larger)
+    idx2 = build_ivf_index(x, n_clusters=64, dtype=jnp.float32, alpha=4.0,
+                           keep_flat=False)
+    if idx2.n_spill == 0:
+        _, ids2 = ivf_search(idx2, jnp.asarray(q)[:2], k=5, nprobe=8)
+        assert np.asarray(ids2).shape == (2, 5)
+
+
+def test_ivf_save_load_preserves_flat_and_nspill(tmp_path):
+    from retrieval_augmented_mds_tpu.index.ivf import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    x = _clustered_data(n=512, d=32, seed=45)
+    idx = build_ivf_index(x, n_clusters=8, dtype=jnp.float32, keep_flat=True)
+    save_ivf_index(idx, str(tmp_path / "ivf"))
+    back = load_ivf_index(str(tmp_path / "ivf"))
+    assert back.n_spill == idx.n_spill
+    assert back.flat is not None
+    q = jnp.asarray(x[:4])
+    v0, i0 = ivf_search(idx, q, k=5, nprobe=8)
+    v1, i1 = ivf_search(back, q, k=5, nprobe=8)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))

@@ -65,7 +65,15 @@ class RAGConfig:
     copy_heads: int = 1
     memory_forcing: str = "no_forcing"  # model_config.py:40
     copy_forcing: float = 0.0  # model_config.py:81
-    memory_model_fixed: bool = True  # share mips/memory encoder weights?
+    # memory_model_fixed=True (TPU-first default): the index-side mips
+    # encoder ALSO produces the memory hidden states — one shared
+    # re-encode of the retrieved rows serves both the differentiable
+    # rescoring CLS and the copy-attention memory, halving the per-step
+    # re-encode cost (the reference runs a separate third Longformer over
+    # the same rows, sotasum/mips.py:465-496). False = reference-faithful
+    # separate memory encoder (requires it when memory_encoder_weights or
+    # a distinct memory_enc config is used).
+    memory_model_fixed: bool = True
     mips_freezed: bool = False  # model_config.py:45
     mips_encoder_freezed: bool = False  # model_config.py:46
     query_encoder_freezed: bool = False
@@ -88,6 +96,28 @@ class RAGConfig:
     # equivalent — SURVEY.md §2.2's owed sequence-sharding story.
     sequence_shard: bool = False
 
+    def __post_init__(self):
+        modes = ("no_forcing", "target_only", "target_in",
+                 "retrieved_forcing")  # model_config.py:39
+        if self.memory_forcing not in modes:
+            raise ValueError(
+                f"memory_forcing={self.memory_forcing!r}; choices={modes}"
+            )
+        if self.memory_model_fixed:
+            if self.mips_enc != self.memory_enc:
+                raise ValueError(
+                    "memory_model_fixed=True shares the mips encoder for "
+                    "the memory re-encode, so mips_enc and memory_enc "
+                    "configs must match; set memory_model_fixed=False for "
+                    "a distinct memory encoder"
+                )
+            if self.memory_encoder_weights is not None:
+                raise ValueError(
+                    "memory_encoder_weights is unused when "
+                    "memory_model_fixed=True (the shared mips encoder "
+                    "encodes memory); set memory_model_fixed=False"
+                )
+
     def frozen_groups(self) -> tuple[str, ...]:
         """Freeze policy → param groups (reference setup freeze logic,
         sotasum/lightning_model.py:140-146: mips_freezed freezes the whole
@@ -95,7 +125,9 @@ class RAGConfig:
         encoder)."""
         groups = []
         if self.mips_freezed:
-            groups += ["query_encoder", "mips_encoder", "memory_encoder"]
+            groups += ["query_encoder", "mips_encoder"]
+            if not self.memory_model_fixed:
+                groups += ["memory_encoder"]
         if self.mips_encoder_freezed:
             groups += ["mips_encoder"]
         if self.query_encoder_freezed:
@@ -168,7 +200,8 @@ def init_rag(key, cfg: RAGConfig) -> Params:
         "query_encoder": init_longformer(ks[1], cfg.query_enc),
     }
     params["mips_encoder"] = init_longformer(ks[2], cfg.mips_enc)
-    params["memory_encoder"] = init_longformer(ks[3], cfg.memory_enc)
+    if not cfg.memory_model_fixed:
+        params["memory_encoder"] = init_longformer(ks[3], cfg.memory_enc)
     if cfg.use_own_decoder:
         params["copy_head"] = init_copy_decoder(
             ks[4], cfg.led.d_model, cfg.copy_decoder_layers, cfg.led.d_ffn,
@@ -256,10 +289,17 @@ def rag_encode(
             idx = faiss_scores = None
         else:
             q_detached = jax.lax.stop_gradient(query_cls)
+            # retrieved_forcing disables self-exclusion: the query's own
+            # articles may be retrieved (reference passes indices=None,
+            # sotasum/lightning_model.py:202)
+            ignore = (
+                None
+                if cfg.memory_forcing == "retrieved_forcing"
+                else batch.get("mips_ignore")
+            )
             if isinstance(store.index, FlatIndex):
                 faiss_scores, idx = flat_search(
-                    store.index, q_detached, k=k,
-                    ignore=batch.get("mips_ignore"), mesh=mesh,
+                    store.index, q_detached, k=k, ignore=ignore, mesh=mesh,
                 )
             else:  # IVF (coarse-quantized) index
                 from ..index.ivf import ivf_search, ivf_search_sharded
@@ -274,12 +314,12 @@ def rag_encode(
                     # sotasum/mips.py:226-244)
                     faiss_scores, idx = ivf_search_sharded(
                         store.index, q_detached, mesh, k=k,
-                        nprobe=store.nprobe, ignore=batch.get("mips_ignore"),
+                        nprobe=store.nprobe, ignore=ignore,
                     )
                 else:
                     faiss_scores, idx = ivf_search(
                         store.index, q_detached, k=k, nprobe=store.nprobe,
-                        ignore=batch.get("mips_ignore"),
+                        ignore=ignore,
                     )
             safe_idx = jnp.maximum(idx, 0)
             mem_ids = jnp.take(store.token_ids, safe_idx, axis=0)  # [B,k,L]
@@ -339,10 +379,18 @@ def rag_encode(
         mips_scores = raw / jnp.maximum(qn * mn, 1e-12)  # [B, slots]
 
         # --- memory re-encode (mips.py:478-496) --------------------------
-        mem_hid = _encode_memory_rows(
-            params["memory_encoder"], cfg.memory_enc, mem_ids, mem_mask,
-            dtype=dtype, remat=remat,
-        )
+        if cfg.memory_model_fixed:
+            # shared re-encode: the rescoring pass above already produced
+            # hidden states for every retrieved token — reuse them as the
+            # copy-attention memory instead of running a second encoder
+            # over the same rows (the reference's memory_encoder,
+            # mips.py:192-205, is a separate third Longformer)
+            mem_hid = mips_hid
+        else:
+            mem_hid = _encode_memory_rows(
+                params["memory_encoder"], cfg.memory_enc, mem_ids, mem_mask,
+                dtype=dtype, remat=remat,
+            )
         h = mem_hid.shape[-1]
         L = mem_ids.shape[-1]
         memory = mem_hid.reshape(b, slots * L, h)

@@ -131,7 +131,8 @@ def test_encoder_state_roundtrip_identical_embeddings(tmp_path):
     export_encoders(path, trained)
 
     params = init_rag_pretrained(
-        jax.random.PRNGKey(0), _tiny_cfg(encoder_state_path=path)
+        jax.random.PRNGKey(0),
+        _tiny_cfg(encoder_state_path=path, memory_model_fixed=False),
     )
     rng = np.random.default_rng(1)
     ids = jnp.asarray(rng.integers(4, 250, (2, T)).astype(np.int32))
@@ -145,7 +146,9 @@ def test_encoder_state_roundtrip_identical_embeddings(tmp_path):
         )
         np.testing.assert_array_equal(got, want)
     # memory encoder was NOT in the export — stays at the fresh init
-    fresh = init_rag_pretrained(jax.random.PRNGKey(0), _tiny_cfg())
+    fresh = init_rag_pretrained(
+        jax.random.PRNGKey(0), _tiny_cfg(memory_model_fixed=False)
+    )
     a = jax.tree_util.tree_leaves(params["memory_encoder"])
     b = jax.tree_util.tree_leaves(fresh["memory_encoder"])
     for x, y in zip(a, b):

@@ -169,3 +169,76 @@ def test_rag_with_ivf_index():
     assert out.shape[0] == B
     assert enc_out.retrieved_idx.shape == (B, cfg.mips_topk)
     assert int(enc_out.retrieved_idx.max()) < N
+
+
+def test_memory_model_fixed_shares_mips_encoder(setup):
+    """memory_model_fixed=True (default): no memory_encoder param group;
+    the copy-attention memory IS the rescoring encoder's hidden states —
+    one re-encode instead of the reference's two (sotasum/mips.py:465-496)."""
+    cfg, params, store, batch = setup
+    assert cfg.memory_model_fixed
+    assert "memory_encoder" not in params
+    _, _, enc_out = rag_forward(params, cfg, store, batch)
+    # memory hidden states come from the mips encoder over retrieved rows
+    from retrieval_augmented_mds_tpu.models.longformer import (
+        longformer_encode,
+    )
+
+    idx = np.asarray(enc_out.retrieved_idx)
+    ids = np.asarray(store.token_ids)[idx.reshape(-1)]
+    mask = np.asarray(store.token_mask)[idx.reshape(-1)]
+    want = np.asarray(
+        longformer_encode(
+            params["mips_encoder"], cfg.mips_enc, jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
+    ).reshape(B, cfg.mips_topk * LM, -1)
+    np.testing.assert_allclose(
+        np.asarray(enc_out.memory), want, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_memory_model_fixed_false_uses_separate_encoder(setup):
+    cfg0, _, store, batch = setup
+    cfg = RAGConfig.tiny(memory_model_fixed=False)
+    params = init_rag(jax.random.PRNGKey(11), cfg)
+    assert "memory_encoder" in params
+    out, aux, enc_out = rag_forward(params, cfg, store, batch)
+    mass = np.asarray(jnp.exp(out).sum(-1))
+    np.testing.assert_allclose(mass, 1.0, rtol=3e-3)
+    assert "memory_encoder" in cfg.frozen_groups() or not cfg.mips_freezed
+
+
+def test_memory_model_fixed_config_validation():
+    from retrieval_augmented_mds_tpu.models.config import EncoderConfig
+
+    with pytest.raises(ValueError, match="memory_encoder_weights"):
+        RAGConfig.tiny(memory_encoder_weights="allenai/longformer-base-4096")
+    enc2 = EncoderConfig.tiny(d_model=48)
+    with pytest.raises(ValueError, match="must match"):
+        RAGConfig.tiny(memory_enc=enc2)
+    with pytest.raises(ValueError, match="memory_forcing"):
+        RAGConfig.tiny(memory_forcing="bogus_mode")
+
+
+def test_retrieved_forcing_disables_self_exclusion(setup):
+    """retrieved_forcing: the query's own articles MAY be retrieved —
+    mips_ignore is dropped (reference passes indices=None,
+    sotasum/lightning_model.py:202)."""
+    cfg0, params, store, batch = setup
+    # establish the unconstrained top-1 per query
+    _, _, enc0 = rag_forward(params, cfg0, store, batch)
+    first = np.asarray(enc0.retrieved_idx)[:, :1].astype(np.int32)
+    batch2 = dict(batch)
+    batch2["mips_ignore"] = jnp.asarray(first)
+    # no_forcing honors the exclusion ...
+    _, _, enc1 = rag_forward(params, cfg0, store, batch2)
+    for b in range(B):
+        assert first[b, 0] not in set(np.asarray(enc1.retrieved_idx)[b])
+    # ... retrieved_forcing ignores it: retrieval matches the
+    # unconstrained result exactly
+    cfg = RAGConfig.tiny(memory_forcing="retrieved_forcing")
+    _, _, enc2 = rag_forward(params, cfg, store, batch2)
+    np.testing.assert_array_equal(
+        np.asarray(enc2.retrieved_idx), np.asarray(enc0.retrieved_idx)
+    )

@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--enc16k", action="store_true",
                     help="also measure the 16k-token encoder forward")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--separate-mem", action="store_true",
+                    help="memory_model_fixed=False: reference-faithful "
+                    "separate memory encoder (two re-encodes per step) "
+                    "instead of the shared-encoder default")
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--skip-train", action="store_true",
                     help="measure only the encoder (split slow compiles "
@@ -142,15 +146,17 @@ def main():
         make_train_step,
     )
 
+    fixed = not args.separate_mem
     if args.tiny:
-        cfg = RAGConfig.tiny()
+        cfg = RAGConfig.tiny(memory_model_fixed=fixed)
         args.src, args.tgt, args.mem_len = 128, 32, 32
         n_corpus = 64
     else:
         led = Seq2SeqConfig.led_base()
         enc = EncoderConfig(n_layers=2)  # memory/query towers as benched r1
         cfg = RAGConfig(led=led, query_enc=enc, mips_enc=enc, memory_enc=enc,
-                        mips_topk=args.mem_k, memory_len=args.mem_len)
+                        mips_topk=args.mem_k, memory_len=args.mem_len,
+                        memory_model_fixed=fixed)
         n_corpus = 8192
 
     params = init_rag(jax.random.PRNGKey(0), cfg)
@@ -231,6 +237,7 @@ def main():
             "bench": "rag_train_step",
             "batch": b, "src": s, "tgt": t,
             "memory": args.mem_k * args.mem_len,
+            "memory_model_fixed": fixed,
             "step_ms": round(t_step * 1e3, 2),
             "xla_flops": flops,
             "mfu_pct_v5e_bf16": round(100 * mfu, 2),

@@ -84,6 +84,8 @@ def build_data(cfg, prompt_prefix: str = ""):
     dm = RAGDataModule(
         df, tok, qtok,
         corpus_column=d.corpus_column,
+        mips_dataset=d.mips_dataset,
+        arxiv_path=d.mips_arxiv_path,
         max_length=d.max_length,
         query_max_length=d.query_max_length,
         decoder_max_length=d.decoder_max_length,
@@ -474,16 +476,17 @@ def run_fit_baseline(cfg):
     return out
 
 
-def run_pretrain_retriever(cfg):
+def _pretrain_setup(cfg):
+    """Shared setup of the retriever-pretraining CLI (train AND predict
+    modes): config, pretrained-initialized dual encoder, tokenized pairs."""
     import jax
-    import jax.numpy as jnp
 
-    from .data import load_tokenizer, prepare_pretrain_pairs, synthetic_multi_x_science
-    from .obs import MetricsLogger
+    from .data import (
+        load_tokenizer,
+        prepare_pretrain_pairs,
+        synthetic_multi_x_science,
+    )
     from .retriever.contrastive import RetrieverConfig, init_retriever
-    from .train.optimizer import build_optimizer
-    from .train.trainer import TrainState, make_retriever_train_step
-    from .utils.checkpoint import export_encoders
 
     rcfg = RetrieverConfig(
         query_enc=cfg.model.query_enc, mips_enc=cfg.model.mips_enc,
@@ -517,10 +520,6 @@ def run_pretrain_retriever(cfg):
                     f"[weights] SKIPPING {field}={name!r}: "
                     f"{type(e).__name__}: {e}", stacklevel=2,
                 )
-    tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
-                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
-    state = TrainState.create(params, tx)
-    step_fn = make_retriever_train_step(rcfg, tx)
 
     if cfg.data.source == "synthetic":
         df = synthetic_multi_x_science(cfg.data.n_synthetic)
@@ -535,27 +534,18 @@ def run_pretrain_retriever(cfg):
         query_max_length=cfg.data.query_max_length,
         mips_max_length=cfg.data.memory_len, seed=cfg.seed,
     )
-    n = len(pairs["query_input_ids"])
-    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever")
-    metrics = {}
-    for step in range(cfg.max_steps):
-        sel = np.random.default_rng(step).choice(
-            n, size=min(cfg.data.batch_size, n), replace=False
-        )
-        batch = {k: jnp.asarray(v[sel]) for k, v in pairs.items()}
-        state, metrics = step_fn(state, batch)
-        log.log(step, metrics)
-    if cfg.ckpt_dir:
-        export_encoders(
-            os.path.join(cfg.ckpt_dir, "encoders.npz"), state.params
-        )
-    out = {k: float(v) for k, v in metrics.items()}
+    return rcfg, params, pairs
 
-    # full-KB validation (reference on_validation_start + validation_step,
-    # sotasum/retriever_lightning.py:339-416): every positive is its own
-    # gold document; rank it among the COMPLETE encoded pair corpus
+
+def _pretrain_full_kb_validation(params, rcfg, pairs, k, *,
+                                 return_details=False):
+    """Full-KB validation (reference on_validation_start +
+    validation_step, sotasum/retriever_lightning.py:339-416): every
+    positive is its own gold document; rank it among the COMPLETE
+    encoded pair corpus."""
     from .retriever.validate import validate_retriever
 
+    n = len(pairs["query_input_ids"])
     corpus = {
         "token_ids": np.asarray(pairs["mips_input_ids"]),
         "token_mask": np.asarray(pairs["mips_attention_mask"]),
@@ -565,13 +555,107 @@ def run_pretrain_retriever(cfg):
         "query_input_ids": np.asarray(pairs["query_input_ids"]),
         "query_attention_mask": np.asarray(pairs["query_attention_mask"]),
     }
-    vm = validate_retriever(
-        state.params, rcfg.query_enc, rcfg.mips_enc, corpus, row_aids,
+    return validate_retriever(
+        params, rcfg.query_enc, rcfg.mips_enc, corpus, row_aids,
         queries, gold_aid=np.arange(n, dtype=np.int32),
         gold_counts=np.ones(n, np.int32),
-        k=min(cfg.retriever.eval_k, n),
+        k=min(k, n), return_details=return_details,
     )
+
+
+def run_pretrain_retriever(cfg):
+    import jax.numpy as jnp
+
+    from .obs import MetricsLogger
+    from .train.optimizer import build_optimizer
+    from .train.trainer import TrainState, make_retriever_train_step
+    from .utils.checkpoint import export_encoders
+
+    rcfg, params, pairs = _pretrain_setup(cfg)
+    tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
+                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
+    state = TrainState.create(params, tx)
+    step_fn = make_retriever_train_step(rcfg, tx)
+
+    n = len(pairs["query_input_ids"])
+    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever")
+    metrics = {}
+    # checkpoint on max average_precision over PERIODIC full-KB
+    # validations (reference ModelCheckpoint monitor + per-epoch
+    # validation, sotasum/pretrain.py:581-587)
+    best_ap = -1.0
+    exported = False
+
+    def _validate_and_maybe_export(step):
+        nonlocal best_ap, exported
+        vm = _pretrain_full_kb_validation(
+            state.params, rcfg, pairs, cfg.retriever.eval_k
+        )
+        log.log(step, vm, prefix="val_")
+        if cfg.ckpt_dir and vm["average_precision"] > best_ap:
+            export_encoders(
+                os.path.join(cfg.ckpt_dir, "encoders.npz"), state.params
+            )
+            exported = True
+        best_ap = max(best_ap, vm["average_precision"])
+        return vm
+
+    for step in range(cfg.max_steps):
+        sel = np.random.default_rng(step).choice(
+            n, size=min(cfg.data.batch_size, n), replace=False
+        )
+        batch = {k: jnp.asarray(v[sel]) for k, v in pairs.items()}
+        state, metrics = step_fn(state, batch)
+        log.log(step, metrics)
+        if cfg.eval_every and (step + 1) % cfg.eval_every == 0 \
+                and step + 1 < cfg.max_steps:
+            _validate_and_maybe_export(step + 1)
+
+    out = {k: float(v) for k, v in metrics.items()}
+    # end-of-run validation; exports only if it beats the best periodic AP
+    vm = _validate_and_maybe_export(cfg.max_steps)
+    if cfg.ckpt_dir and not exported:
+        export_encoders(
+            os.path.join(cfg.ckpt_dir, "encoders.npz"), state.params
+        )
     out.update({f"val_{k_}": v for k_, v in vm.items()})
+    out["best_average_precision"] = best_ap
+    return out
+
+
+def run_pretrain_retriever_predict(cfg):
+    """Predict mode of the pretraining CLI (reference
+    `python -m sotasum.pretrain --mode predict`, sotasum/pretrain.py:
+    686-718): load the exported encoders if available, run the full-KB
+    top-k search over the pair corpus, dump the per-query ranking."""
+    from .obs import MetricsLogger
+
+    rcfg, params, pairs = _pretrain_setup(cfg)
+    enc_path = (
+        os.path.join(cfg.ckpt_dir, "encoders.npz") if cfg.ckpt_dir else None
+    )
+    if enc_path and os.path.exists(enc_path):
+        from .utils.checkpoint import import_encoders
+
+        params = import_encoders(enc_path, params)
+        print(f"[weights] query/mips encoders <- {enc_path}")
+    vm, details = _pretrain_full_kb_validation(
+        params, rcfg, pairs, cfg.retriever.eval_k, return_details=True
+    )
+    dump = [
+        {
+            "query": int(i),
+            "retrieved": details["indices"][i].tolist(),
+            "scores": [round(float(s), 6) for s in details["scores"][i]],
+            "hits": details["hits"][i].astype(int).tolist(),
+        }
+        for i in range(len(details["indices"]))
+    ]
+    MetricsLogger(
+        cfg.logging.log_dir, cfg.logging.run_name + "_retriever"
+    ).dump_outputs("retriever_predictions", dump)
+    out = dict(vm)
+    out["n_queries"] = len(dump)
     return out
 
 
@@ -644,14 +728,17 @@ def run_bench_index(cfg):
 
     t0 = time.perf_counter()
     nc = min(256, max(1, n // 64))
+    # keep_flat=False so the recall numbers below measure the PROBED path
+    # (with the flat sibling, B·nprobe ≥ C batches route to exact flat
+    # search and every recall would read 1.0)
     ivf = build_ivf_index(x, n_clusters=nc, dtype=dtype,
-                          train_size=min(n, 16384), iters=5)
+                          train_size=min(n, 16384), iters=5, keep_flat=False)
     jax.block_until_ready(ivf.clustered)
     out["ivf_build_cold_s"] = round(time.perf_counter() - t0, 3)
     # steady-state rebuild (the train-time refresh cost; executables warm)
     t0 = time.perf_counter()
     ivf = build_ivf_index(x, n_clusters=nc, dtype=dtype,
-                          train_size=min(n, 16384), iters=5)
+                          train_size=min(n, 16384), iters=5, keep_flat=False)
     jax.block_until_ready(ivf.clustered)
     out["ivf_rebuild_warm_s"] = round(time.perf_counter() - t0, 3)
 
@@ -685,6 +772,12 @@ def main(argv=None):
         "--profile", action="store_true",
         help="capture a jax profiler trace of the run into <log_dir>/trace",
     )
+    p.add_argument(
+        "--mode", choices=["train", "predict"], default="train",
+        help="pretrain-retriever only: predict = top-k search dump with "
+        "the exported encoders (reference `python -m sotasum.pretrain "
+        "--mode predict`)",
+    )
     args = p.parse_args(argv)
 
     from .utils.config import ExperimentConfig, load_config
@@ -695,6 +788,16 @@ def main(argv=None):
         if args.config
         else ExperimentConfig(model=RAGConfig.tiny())
     )
+
+    if cfg.compilation_cache_dir:
+        # persistent XLA compile cache (production analog of the test
+        # suite's /tmp/jax_test_cache): cuts IVF/LED cold-build compile
+        # time on every run after the first
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     if args.command == "fit":
         runner = run_fit_baseline if cfg.baseline else run_fit
@@ -712,7 +815,11 @@ def main(argv=None):
     elif args.command == "predict":
         out = run_predict(cfg)
     elif args.command == "pretrain-retriever":
-        out = run_pretrain_retriever(cfg)
+        out = (
+            run_pretrain_retriever_predict(cfg)
+            if args.mode == "predict"
+            else run_pretrain_retriever(cfg)
+        )
     elif args.command == "build-index":
         out = run_build_index(cfg, args.out)
     else:

@@ -170,6 +170,64 @@ def load_mips_arxiv(df: pd.DataFrame, column: str = "abstract") -> pd.DataFrame:
     return out[["mips_column", "index", "aid"]]
 
 
+# inline/display math → "@math" (reference clean_arxiv,
+# data_loaders.py:132-140)
+ARXIV_MATH_RE = re.compile(r"\$+(.*?)\$+|\\\[(.*?)\\\]")
+
+
+def clean_arxiv_text(text: str) -> str:
+    """arXiv abstract cleaning (data_loaders.py:132-140): newlines →
+    spaces, `$...$` / `\\[...\\]` math → "@math", collapse whitespace."""
+    text = text.replace("\n", " ").strip()
+    text = ARXIV_MATH_RE.sub("@math", text)
+    text = re.sub(r"\s{2,}", " ", text)
+    return text
+
+
+def load_mips_arxiv2(source: str | pd.DataFrame) -> pd.DataFrame:
+    """arXiv parquet corpus (reference `load_mips_arxiv2`,
+    data_loaders.py:129-157): read parquet, clean each abstract
+    (@math substitution), take `__index_level_0__` as the article id,
+    dedup by cleaned text.
+
+    Returns the repo corpus schema: mips_column (unique text),
+    index (example-index lists — EMPTY for arXiv rows, which belong to no
+    training example, so self-exclusion never masks them), aid (id list).
+    """
+    df = pd.read_parquet(source) if isinstance(source, str) else source.copy()
+    if "aid" not in df:
+        if "__index_level_0__" in df:
+            df["aid"] = df["__index_level_0__"]
+        else:
+            df["aid"] = df.index
+    df["mips_column"] = df["abstract"].map(clean_arxiv_text)
+    df = df.drop_duplicates("mips_column").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "mips_column": df["mips_column"],
+            "index": [[] for _ in range(len(df))],
+            # str-coerced so arXiv ids (ints from the pandas index) sort
+            # alongside Multi-XScience's string aids in the aid vocab
+            "aid": df["aid"].map(lambda a: [str(a)]),
+        }
+    )
+
+
+def load_mips_arxiv_x_science(
+    arxiv_source: str | pd.DataFrame,
+    multix_df: pd.DataFrame,
+    column: str = "ref_abstract",
+) -> pd.DataFrame:
+    """Concatenated arXiv + Multi-XScience MIPS corpus (reference
+    `load_mips_arxiv_x_science`, data_loaders.py:160-191; arXiv rows
+    first, matching the reference concat order). Multi-XScience rows keep
+    their example-index lists (self-exclusion still applies to them);
+    arXiv rows carry empty lists."""
+    ax = load_mips_arxiv2(arxiv_source)
+    mx = build_mips_corpus(multix_df, column)[["mips_column", "index", "aid"]]
+    return pd.concat([ax, mx], ignore_index=True)
+
+
 def add_aid_counts(df: pd.DataFrame) -> pd.DataFrame:
     """Merge per-aid example counts (reference data_modules.py:207-215,
     data_loaders.py:213-218) — the denominator of retriever recall."""

@@ -201,6 +201,12 @@ class RAGDataModule:
     tokenizer: Any
     query_tokenizer: Any
     corpus_column: str = "ref_abstract"
+    # MIPS corpus selector (reference mips_dataset, model_config.py:58 /
+    # mips.py:167-182): "multi_x_science" builds from df via
+    # corpus_column; "arxiv2" / "arxiv_x_science" load arxiv_path parquet
+    # (data_loaders.py:129-191)
+    mips_dataset: str = "multi_x_science"
+    arxiv_path: str | None = None
     max_length: int = 1024
     query_max_length: int = 256
     decoder_max_length: int = 256
@@ -231,6 +237,7 @@ class RAGDataModule:
             self.query_max_length, self.decoder_max_length, self.memory_len,
             self.source_memory, self.doc_sep, self.prompt_prefix,
             self.dual_memory, len(self.df),
+            self.mips_dataset, self.arxiv_path,
         )).encode())
         for col in ("mid", "aid"):
             if col in self.df:
@@ -247,7 +254,23 @@ class RAGDataModule:
             cache_path = os.path.join(
                 self.cache_dir, f"rag_tok_{self._cache_key()}.npz"
             )
-        self.corpus = build_mips_corpus(self.df, self.corpus_column)
+        if self.mips_dataset == "multi_x_science":
+            self.corpus = build_mips_corpus(self.df, self.corpus_column)
+        elif self.mips_dataset == "arxiv2":
+            from .corpus import load_mips_arxiv2
+
+            self.corpus = load_mips_arxiv2(self.arxiv_path)
+        elif self.mips_dataset == "arxiv_x_science":
+            from .corpus import load_mips_arxiv_x_science
+
+            self.corpus = load_mips_arxiv_x_science(
+                self.arxiv_path, self.df, self.corpus_column
+            )
+        else:
+            raise ValueError(
+                f"unknown mips_dataset {self.mips_dataset!r} (choices: "
+                "multi_x_science, arxiv2, arxiv_x_science)"
+            )
         self.aid_vocab = build_aid_vocab(self.df, self.corpus)
         if cache_path and os.path.exists(cache_path):
             data = np.load(cache_path)

@@ -57,7 +57,12 @@ def validate_retriever(
     k: int = 10,
     metric: str = "ip",
     batch_size: int = 64,
-) -> dict[str, float]:
+    return_details: bool = False,
+):
+    """Returns the metric dict; with ``return_details`` also the per-query
+    ranking (retrieved indices, scores, hit matrix — the reference
+    predict-mode payload, sotasum/pretrain.py:686-718 /
+    retriever_lightning.py:283-337)."""
     kb = encode_texts(
         params["mips_encoder"], mips_cfg,
         corpus_tokens["token_ids"], corpus_tokens["token_mask"], batch_size,
@@ -74,13 +79,20 @@ def validate_retriever(
         q_aug = augment_queries(jnp.asarray(q))
         index = build_flat_index(np.asarray(kb_aug), metric="l2",
                                  dtype=jnp.float32)
-        _, idx = search(index, q_aug, k=k)
+        scores, idx = search(index, q_aug, k=k)
     else:
         index = build_flat_index(kb, metric="ip", dtype=jnp.float32)
-        _, idx = search(index, jnp.asarray(q), k=k)
+        scores, idx = search(index, jnp.asarray(q), k=k)
 
     idx = np.asarray(idx)
     retrieved_aids = corpus_row_aids[np.maximum(idx, 0)]  # [Q, k, A]
     hits = (retrieved_aids == gold_aid[:, None, None]).any(-1)
     m = retriever_metrics_fixed(jnp.asarray(hits), jnp.asarray(gold_counts))
-    return {key: float(v) for key, v in m.items()}
+    out = {key: float(v) for key, v in m.items()}
+    if return_details:
+        return out, {
+            "indices": idx,
+            "scores": np.asarray(scores),
+            "hits": np.asarray(hits),
+        }
+    return out

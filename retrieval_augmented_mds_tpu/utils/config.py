@@ -26,7 +26,12 @@ from ..train.trainer import TrainHyper
 class DataConfig:
     source: str = "synthetic"  # "synthetic" | "multi_x_science" | path
     dataset_mode: str = "original"  # original | aggregated | dual (model_config.py:75)
-    corpus_column: str = "ref_abstract"  # mips_dataset selector (model_config.py:58)
+    corpus_column: str = "ref_abstract"  # corpus text column (model_config.py:59)
+    # MIPS corpus source (reference mips_dataset, model_config.py:58 /
+    # mips.py:167-182): multi_x_science | arxiv2 | arxiv_x_science; the
+    # arXiv variants read mips_arxiv_path (parquet)
+    mips_dataset: str = "multi_x_science"
+    mips_arxiv_path: str | None = None
     tokenizer: str | None = None  # HF name; None → hash tokenizer
     tokenizer_fallback: str = "error"  # "error" | "hash" on load failure
     doc_sep: str = "<DOC_SEP>"  # model_config.py:78
@@ -100,6 +105,9 @@ class ExperimentConfig:
     eval_max_batches: int | None = None
     ckpt_dir: str | None = None
     baseline: str | None = None  # "bart" | "t5" → parametric-only fine-tune
+    # opt-in persistent XLA compile cache for production runs (the CLI
+    # wires it via jax.config; tests use /tmp/jax_test_cache separately)
+    compilation_cache_dir: str | None = None
 
 
 _REGISTRY = {

@@ -60,6 +60,38 @@ def test_pretrain_retriever_smoke(tmp_path):
     assert os.path.exists(tmp_path / "ck" / "encoders.npz")
 
 
+def test_pretrain_retriever_periodic_validation_and_predict(tmp_path):
+    """Round-3 pretrain-CLI parity (reference pretrain.py:481-587,686-718):
+    periodic full-KB validation during training, checkpoint on best
+    average_precision, and a predict-mode top-k ranking dump."""
+    from retrieval_augmented_mds_tpu.cli import run_pretrain_retriever_predict
+
+    run_name = "smoke"
+    cfg = _cfg(CFG, tmp_path, max_steps=4, eval_every=2,
+               ckpt_dir=str(tmp_path / "ck"))
+    out = run_pretrain_retriever(cfg)
+    assert out["best_average_precision"] >= 0
+    assert os.path.exists(tmp_path / "ck" / "encoders.npz")
+    # periodic validation metrics appear over time in the metrics stream
+    lines = [
+        json.loads(ln)
+        for ln in open(
+            tmp_path / f"{run_name}_retriever.metrics.jsonl"
+        ).read().strip().splitlines()
+    ]
+    val_rows = [
+        row for row in lines
+        if any(k.startswith("val_average_precision") for k in row)
+    ]
+    assert len(val_rows) >= 2  # mid-training (step 2) + end-of-run
+    # predict mode: loads the exported encoders and dumps rankings
+    pout = run_pretrain_retriever_predict(cfg)
+    assert pout["n_queries"] > 0
+    dump = json.load(open(tmp_path / "retriever_predictions.json"))
+    assert len(dump) == pout["n_queries"]
+    assert {"query", "retrieved", "scores", "hits"} <= set(dump[0])
+
+
 @pytest.mark.slow
 def test_fit_resume_from_checkpoint(tmp_path):
     cfg = _cfg(CFG, tmp_path, max_steps=2, eval_every=2,

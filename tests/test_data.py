@@ -1,6 +1,9 @@
 """Data layer: corpus semantics, tokenization, pipeline shapes."""
 
+import os
+
 import numpy as np
+import pytest
 
 from retrieval_augmented_mds_tpu.data import (
     HashTokenizer,
@@ -151,3 +154,74 @@ def test_split_partition_disjoint_and_complete():
     te = set(dm.split_indices("test"))
     assert not (tr & va) and not (tr & te) and not (va & te)
     assert tr | va | te == set(range(dm.n_examples))
+
+
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "retrieval_augmented_mds_tpu", "data", "fixtures",
+)
+
+
+def test_clean_arxiv_text_math_substitution():
+    """Reference clean_arxiv (sotasum/data_loaders.py:132-140)."""
+    from retrieval_augmented_mds_tpu.data.corpus import clean_arxiv_text
+
+    raw = "We prove\n$x^2 + 1$ and  \\[\\sum a_i\\]   holds $$y$$."
+    got = clean_arxiv_text(raw)
+    assert "\n" not in got and "  " not in got
+    assert got == "We prove @math and @math holds @math."
+
+
+def test_load_mips_arxiv2_parquet_fixture():
+    """load_mips_arxiv2 (data_loaders.py:129-157): parquet read, @math
+    substitution, dedup by cleaned text, article ids preserved."""
+    from retrieval_augmented_mds_tpu.data.corpus import load_mips_arxiv2
+
+    corpus = load_mips_arxiv2(os.path.join(FIXDIR, "arxiv_64.parquet"))
+    assert 0 < len(corpus) < 64  # the 8 duplicated abstracts dedup away
+    assert corpus["mips_column"].is_unique
+    assert not corpus["mips_column"].str.contains("\\$").any()
+    assert corpus["mips_column"].str.contains("@math").any()
+    # arXiv rows tie to no training example → empty index lists
+    assert all(len(ix) == 0 for ix in corpus["index"])
+    # aids from the parquet pandas index (reference __index_level_0__)
+    assert all(len(a) == 1 and int(a[0]) >= 1000 for a in corpus["aid"])
+
+
+def test_arxiv_x_science_concat_and_datamodule():
+    """arXiv-first concat (data_loaders.py:160-191) feeding the full data
+    module: Multi-XScience rows keep self-exclusion; arXiv rows extend the
+    searchable corpus."""
+    from retrieval_augmented_mds_tpu.data.corpus import (
+        build_mips_corpus,
+        load_mips_arxiv2,
+        load_mips_arxiv_x_science,
+    )
+
+    pq = os.path.join(FIXDIR, "arxiv_64.parquet")
+    df = synthetic_multi_x_science(24)
+    ax = load_mips_arxiv2(pq)
+    mx = build_mips_corpus(df)
+    corpus = load_mips_arxiv_x_science(pq, df)
+    assert len(corpus) == len(ax) + len(mx)
+    # arXiv rows first (reference concat order)
+    assert list(corpus["mips_column"][: len(ax)]) == list(ax["mips_column"])
+
+    tok = HashTokenizer(512)
+    dm = RAGDataModule(
+        df, tok, tok, max_length=32, query_max_length=16,
+        decoder_max_length=8, memory_len=16,
+        mips_dataset="arxiv_x_science", arxiv_path=pq,
+    ).prepare()
+    assert dm.corpus_size == len(corpus)
+    batch = next(dm.batches(4, native=False))
+    # self-exclusion rows point at multix corpus rows (offset past arXiv)
+    mi = batch["mips_ignore"]
+    assert (mi[mi >= 0] >= len(ax)).all()
+
+
+def test_unknown_mips_dataset_raises():
+    df = synthetic_multi_x_science(8)
+    tok = HashTokenizer(512)
+    with pytest.raises(ValueError, match="mips_dataset"):
+        RAGDataModule(df, tok, tok, mips_dataset="bogus").prepare()

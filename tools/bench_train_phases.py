@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def scan_diff(make_fn, *args, t_short=2, t_long=6, reps=3):
+def scan_diff(make_fn, *args, t_short=4, t_long=16, reps=4):
     """make_fn(T) -> jitted fn(*args, shift) returning a scalar; returns
     per-iteration seconds."""
 

@@ -177,6 +177,7 @@ def build_tx(cfg, params):
         weight_decay=cfg.train.weight_decay, grad_clip=cfg.train.grad_clip,
         frozen_groups=frozen, params=params,
         accumulate_steps=cfg.train.accumulate_steps,
+        mu_dtype=cfg.train.adam_mu_dtype,
     )
 
 

@@ -17,7 +17,7 @@ from .config import Seq2SeqConfig
 from .core import (
     Params,
     attention,
-    causal_mask,
+    attention_train,
     embed,
     embedding_init,
     ffn,
@@ -79,7 +79,8 @@ def bart_encode(params, cfg: Seq2SeqConfig, ids, padding_mask, *,
     mask = (padding_mask > 0)[:, None, None, :]
 
     def layer_fn(x, lp):
-        a, _ = attention(lp["attn"], x, x, cfg.n_heads, mask=mask)
+        a = attention_train(lp["attn"], x, x, cfg.n_heads,
+                            key_padding_mask=padding_mask)
         x = layernorm(lp["attn_ln"], x + a)
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
 
@@ -103,13 +104,21 @@ def bart_decode(params, cfg: Seq2SeqConfig, dec_ids, enc_hidden,
     new_caches = []
 
     def layer_fn(x, lp, cache):
-        if cache is not None:
-            t_k = cache["k"].shape[2]
-            qi = jnp.arange(t)[:, None] + cache["pos"]
-            ki = jnp.arange(t_k)[None, :]
-            smask = (ki <= qi)[None, None]
-        else:
-            smask = causal_mask(t, t, 0)
+        if cache is None:
+            # training path: flash dense kernels (ops/flash_dense.py)
+            a = attention_train(lp["self_attn"], x, x, cfg.n_heads,
+                                causal=True)
+            x = layernorm(lp["self_ln"], x + a)
+            c = attention_train(
+                lp["cross_attn"], x, enc_hidden.astype(x.dtype),
+                cfg.n_heads, key_padding_mask=enc_padding_mask,
+            )
+            x = layernorm(lp["cross_ln"], x + c)
+            return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x)), None
+        t_k = cache["k"].shape[2]
+        qi = jnp.arange(t)[:, None] + cache["pos"]
+        ki = jnp.arange(t_k)[None, :]
+        smask = (ki <= qi)[None, None]
         a, nc = attention(lp["self_attn"], x, x, cfg.n_heads, mask=smask,
                           cache=cache)
         x = layernorm(lp["self_ln"], x + a)

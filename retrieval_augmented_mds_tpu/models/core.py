@@ -173,6 +173,36 @@ def attention(
     return dense(p["o"], _merge_heads(out)), cache
 
 
+def attention_train(
+    p: Params,
+    x_q: jax.Array,  # [B, Tq, H]
+    x_kv: jax.Array,  # [B, Tk, H]
+    n_heads: int,
+    *,
+    key_padding_mask: jax.Array | None = None,  # [B, Tk] {0,1}
+    causal: bool = False,
+) -> jax.Array:
+    """Training-time dense attention (no cache / precomputed kv / beam
+    fold) routed through the flash decoder kernel (ops/flash_dense.py)
+    on TPU: nothing [B, nh, Tq, Tk]-shaped is materialized or saved for
+    backward. Off-TPU and at kernel-ineligible shapes this is exactly
+    `attention`'s math (the XLA composite inside dense_rows)."""
+    from ..ops.flash_dense import dense_rows
+
+    q = _split_heads(dense(p["q"], x_q), n_heads)
+    k = _split_heads(dense(p["k"], x_kv), n_heads)
+    v = _split_heads(dense(p["v"], x_kv), n_heads)
+    b, s = x_kv.shape[0], x_kv.shape[1]
+    if key_padding_mask is None:
+        kb = jnp.zeros((b, s), jnp.float32)
+    else:
+        kb = jnp.where(key_padding_mask > 0, 0.0, NEG_INF).astype(
+            jnp.float32
+        )
+    out = dense_rows(q, k, v, kb, causal)
+    return dense(p["o"], _merge_heads(out))
+
+
 def ffn(p: Params, x: jax.Array) -> jax.Array:
     return dense(p["w2"], jax.nn.gelu(dense(p["w1"], x)))
 

@@ -21,7 +21,7 @@ from .config import Seq2SeqConfig
 from .core import (
     Params,
     attention,
-    causal_mask,
+    attention_train,
     embed,
     embedding_init,
     ffn,
@@ -156,19 +156,29 @@ def led_decode(
     new_caches = []
 
     def layer_fn(x, lp, cache):
-        if cache is not None:
-            t_k = cache["k"].shape[2]
-            qi = jnp.arange(t)[:, None] + cache["pos"]
-            ki = jnp.arange(t_k)[None, :]
-            smask = (ki <= qi)[None, None]
-        else:
-            smask = causal_mask(t, t, 0)
+        if cache is None:
+            # training path: flash dense kernels (ops/flash_dense.py) —
+            # no [B, nh, T, S] residuals saved for backward
+            a = attention_train(lp["self_attn"], x, x, cfg.n_heads,
+                                causal=True)
+            x = layernorm(lp["self_ln"], x + a)
+            c = attention_train(
+                lp["cross_attn"], x, enc_hidden.astype(x.dtype),
+                cfg.n_heads, key_padding_mask=enc_padding_mask,
+            )
+            x = layernorm(lp["cross_ln"], x + c)
+            x = layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
+            return x, None
+        t_k = cache["k"].shape[2]
+        qi = jnp.arange(t)[:, None] + cache["pos"]
+        ki = jnp.arange(t_k)[None, :]
+        smask = (ki <= qi)[None, None]
         a, new_cache = attention(
             lp["self_attn"], x, x, cfg.n_heads, mask=smask, cache=cache
         )
         x = layernorm(lp["self_ln"], x + a)
         ckv = None
-        if cache is not None and "ck" in cache:
+        if "ck" in cache:
             ckv = (cache["ck"], cache["cv"])
         c, _ = attention(
             lp["cross_attn"], x, enc_hidden.astype(x.dtype), cfg.n_heads,

@@ -1,0 +1,288 @@
+"""Flash-style Pallas kernels for dense (decoder) attention.
+
+The XLA formulation (models/core.py attention) materializes the f32
+logits/probs [B, nh, T, S] and saves them for the backward pass — for
+the LED decoder's cross-attention at B=8, T=256, S=2048 that is 192 MB
+*per tensor per layer*, which blows HBM before the train step even
+compiles (the round-3 B=8 MFU attempt OOMed at 18.3/15.75 GB on
+exactly these residuals). Reference hot loop: the LED decoder
+cross-attending to the 2048-token source (sotasum/retriever_generator.py
+:366-376) — torch pays the same [B,H,T,S] materialization there.
+
+Design: decode-side sequence lengths are short (T ≈ 256 target tokens,
+S ≤ 4096 source), so one query block's full [wq, S] score matrix fits
+in VMEM. Each grid step computes one (batch·head, q-block) tile with a
+single fused softmax — no online accumulation pass is needed, unlike
+the 16k-token encoder kernel (flash_sliding.py). HBM traffic is just
+the q/k/v/out streams, and nothing is saved for backward: the bwd
+kernel recomputes the probabilities blockwise and accumulates dK/dV in
+VMEM across query blocks (the standard TPU Pallas revisited-output
+reduction).
+
+Supported mask forms (everything the LED decoder needs):
+  * additive per-key bias [B, S] (0 valid / -inf padded) — the
+    cross-attention key-padding mask
+  * optional causal masking (training-time decoder self-attention)
+
+Tiling: S must be a lane multiple (128); q rows are blocked by wq
+(multiple of 8). dh rides as the full minor dim. Tiny test shapes fall
+back to the XLA composite in models/core.py (which stays the
+correctness oracle — parity tests in tests/test_flash_dense.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e9
+
+# full-key VMEM budget: [wq, S] f32 scores + K/V [S, dh] must fit
+MAX_S = 4096
+
+
+def _q_block(t: int) -> int:
+    """Largest divisor of t that is ≤ 256 and a multiple of 8."""
+    for wq in (256, 128, 64, 32, 16, 8):
+        if t % wq == 0:
+            return wq
+    return 0
+
+
+def _scores(q_ref, k_ref, kb_ref, *, wq, causal):
+    """Recomputable [wq, S] masked logits for one (bh, q-block) tile."""
+    dh = q_ref.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    q = q_ref[0].astype(jnp.float32) * scale  # [wq, dh]
+    s = jax.lax.dot_general(
+        q, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [wq, S]
+    s = s + kb_ref[0, 0][None, :]
+    if causal:
+        j = pl.program_id(1)
+        s_len = k_ref.shape[1]
+        q_pos = j * wq + jax.lax.broadcasted_iota(jnp.int32, (wq, s_len), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (wq, s_len), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    return s
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, kb_ref, out_ref, *, wq, causal):
+    s = _scores(q_ref, k_ref, kb_ref, wq=wq, causal=causal)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(out_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, kb_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, wq, causal):
+    j = pl.program_id(1)
+    dh = q_ref.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+
+    s = _scores(q_ref, k_ref, kb_ref, wq=wq, causal=causal)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)  # [wq, S]
+
+    do = do_ref[0].astype(jnp.float32)  # [wq, dh]
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [wq, S]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # [wq, 1]
+    ds = p * (dp - delta)  # [wq, S]
+
+    dq_ref[0] = (
+        jax.lax.dot_general(
+            ds, k_ref[0].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    ).astype(dq_ref.dtype)
+
+    # dK/dV accumulate in VMEM across the (innermost) q-block sweep: the
+    # output block index is constant in j, so the tile stays resident
+    dk_tile = jax.lax.dot_general(
+        ds, q_ref[0].astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [S, dh]
+    dv_tile = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, dh]
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_tile
+        dv_ref[0] = dv_tile
+
+    @pl.when(j > 0)
+    def _acc():
+        dk_ref[0] += dk_tile
+        dv_ref[0] += dv_tile
+
+
+def _flash_eligible(t: int, s: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and s % 128 == 0
+        and s <= MAX_S
+        and _q_block(t) > 0
+    )
+
+
+def flash_dense_attention(q, k, v, key_bias, *, causal, interpret=None):
+    """q [B,H,T,dh] · k/v [B,H,S,dh] · key_bias [B,S] f32 → [B,H,T,dh]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, nh, t, dh = q.shape
+    s = k.shape[2]
+    wq = _q_block(t)
+    nq = t // wq
+    bh = b * nh
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, wq=wq, causal=causal),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i // nh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, wq, dh), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * t * s * dh * 2,
+            bytes_accessed=int(bh * (t + 2 * s) * dh * 2 + bh * t * dh * 2),
+            transcendentals=bh * t * s,
+        ),
+        interpret=interpret,
+    )(
+        q.reshape(bh, t, dh),
+        k.reshape(bh, s, dh),
+        v.reshape(bh, s, dh),
+        key_bias.astype(jnp.float32)[:, None, :],
+    )
+    return out.reshape(b, nh, t, dh)
+
+
+def flash_dense_backward(q, k, v, key_bias, g, *, causal, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, nh, t, dh = q.shape
+    s = k.shape[2]
+    wq = _q_block(t)
+    nq = t // wq
+    bh = b * nh
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, wq=wq, causal=causal),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i // nh, 0, 0)),
+            pl.BlockSpec((1, wq, dh), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, s, dh), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * t * s * dh * 2,
+            bytes_accessed=int(bh * (2 * t + 4 * s) * dh * 4),
+            transcendentals=bh * t * s,
+        ),
+        interpret=interpret,
+    )(
+        q.reshape(bh, t, dh),
+        k.reshape(bh, s, dh),
+        v.reshape(bh, s, dh),
+        key_bias.astype(jnp.float32)[:, None, :],
+        g.reshape(bh, t, dh),
+    )
+    return (
+        dq.reshape(b, nh, t, dh),
+        dk.reshape(b, nh, s, dh).astype(k.dtype),
+        dv.reshape(b, nh, s, dh).astype(v.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA composite of the same math (correctness oracle + CPU/fallback path)
+# ---------------------------------------------------------------------------
+
+def _dense_xla(q, k, v, key_bias, causal):
+    b, nh, t, dh = q.shape
+    s = k.shape[2]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+        k.astype(jnp.float32), preferred_element_type=jnp.float32,
+    ) + key_bias.astype(jnp.float32)[:, None, None, :]
+    if causal:
+        qi = jnp.arange(t)[:, None]
+        ki = jnp.arange(s)[None, :]
+        logits = jnp.where((ki <= qi)[None, None], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", w.astype(v.dtype), v
+    ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def dense_rows(q, k, v, key_bias, causal):
+    """Dense attention rows; Pallas on TPU, XLA composite elsewhere.
+
+    ``key_bias`` carries no gradient (it is a padding mask here; the
+    copy head's differentiable memory bias keeps its own XLA path,
+    models/copy_decoder.py:_biased_cross_attention).
+    """
+    from .flash_sliding import _force_xla
+
+    t, s = q.shape[2], k.shape[2]
+    if _flash_eligible(t, s) and not _force_xla():
+        return flash_dense_attention(q, k, v, key_bias, causal=causal)
+    return _dense_xla(q, k, v, key_bias, causal)
+
+
+def _fwd(q, k, v, key_bias, causal):
+    return dense_rows(q, k, v, key_bias, causal), (q, k, v, key_bias)
+
+
+def _bwd(causal, res, g):
+    from .flash_sliding import _force_xla
+
+    q, k, v, key_bias = res
+    t, s = q.shape[2], k.shape[2]
+    if _flash_eligible(t, s) and not _force_xla():
+        dq, dk, dv = flash_dense_backward(q, k, v, key_bias, g,
+                                          causal=causal)
+        return dq, dk, dv, jnp.zeros_like(key_bias)
+    _, vjp = jax.vjp(lambda *a: _dense_xla(*a, causal), q, k, v, key_bias)
+    return vjp(g)
+
+
+dense_rows.defvjp(_fwd, _bwd)

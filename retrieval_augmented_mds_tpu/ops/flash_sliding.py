@@ -16,6 +16,7 @@ training works today; a fused backward kernel is the follow-up.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,15 @@ from jax.experimental import pallas as pl
 
 NEG_INF = -1e9
 G_PAD = 128  # global-column lanes (max_globals <= 128)
+
+
+def _force_xla() -> bool:
+    """RAMDS_FORCE_XLA_OPS=1 routes attention through the XLA composite
+    even on TPU. Two uses: A/B debugging against the correctness oracle,
+    and FLOP accounting — XLA's cost model reports 0 for Pallas custom
+    calls, so tools/bench_train_mfu.py lowers the mathematically
+    identical composite-only step to get the true numerator."""
+    return os.environ.get("RAMDS_FORCE_XLA_OPS", "") == "1"
 
 
 def _kernel(
@@ -220,7 +230,8 @@ def sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, window):
     The kernel needs window % 128 == 0 (bias lane tiling); production
     windows (LED 512, Longformer 256) qualify — tiny test configs fall
     back to the XLA composite."""
-    if jax.default_backend() == "tpu" and window % 128 == 0:
+    if (jax.default_backend() == "tpu" and window % 128 == 0
+            and not _force_xla()):
         return flash_sliding_attention(
             q, k, v, key_bias, kg, vg, g_bias, window=window
         )
@@ -234,7 +245,8 @@ def _fwd(q, k, v, key_bias, kg, vg, g_bias, window):
 
 def _bwd(window, res, g):
     q, k, v, key_bias, kg, vg, g_bias = res
-    if jax.default_backend() == "tpu" and window % 128 == 0:
+    if (jax.default_backend() == "tpu" and window % 128 == 0
+            and not _force_xla()):
         from .flash_sliding_bwd import flash_sliding_backward
 
         dq, dk, dv, dkg, dvg = flash_sliding_backward(

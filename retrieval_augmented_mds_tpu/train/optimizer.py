@@ -57,13 +57,27 @@ def build_optimizer(
     frozen_groups: Iterable[str] = (),
     params=None,
     accumulate_steps: int = 1,  # reference accumulate_grad_batches
+    mu_dtype: str | None = "bfloat16",
 ):
-    """Returns an optax GradientTransformation."""
+    """Returns an optax GradientTransformation.
+
+    ``mu_dtype`` stores Adam's first moment in bf16 (default): the
+    optimizer update is pure HBM-bandwidth (zero MXU flops — measured
+    12.5 ms of a 45.7 ms B=2 train step, artifacts/
+    train_phase_breakdown.json), and m is a smoothed gradient whose low
+    bits are noise. The second moment stays f32 (it sits under a sqrt —
+    bf16's 8 mantissa bits there would distort step sizes). Pass None
+    for the reference-faithful all-f32 state."""
+    import jax.numpy as jnp
+
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.adamw(sched, weight_decay=weight_decay))
+    chain.append(optax.adamw(
+        sched, weight_decay=weight_decay,
+        mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
+    ))
     tx = optax.chain(*chain)
     frozen = set(frozen_groups)
     if frozen:

@@ -69,6 +69,10 @@ class TrainHyper:
     mips_rebuild_every: int = 650  # no_mips.yaml:114
     frozen_groups: tuple[str, ...] = ()  # mips_freezed etc.
     remat: bool = False  # gradient checkpointing (model_config.py:35)
+    # Adam first-moment storage dtype; None = f32 (reference-faithful).
+    # Default bf16: the update is pure HBM bandwidth, see
+    # train/optimizer.py build_optimizer.
+    adam_mu_dtype: str | None = "bfloat16"
 
 
 def make_train_step(

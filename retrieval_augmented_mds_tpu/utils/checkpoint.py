@@ -26,7 +26,12 @@ def _flatten(tree) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jax.numpy.bfloat16:
+            # npz has no bf16: store the raw bits; load_pytree views them
+            # back using the target leaf's dtype
+            arr = arr.view(np.uint16)
+        flat[key] = arr
     return flat
 
 
@@ -46,6 +51,8 @@ def load_pytree(path: str, like: Any) -> Any:
     for key, leaf in zip(flat_keys, leaves_like):
         arr = data[key]
         assert arr.shape == tuple(leaf.shape), (key, arr.shape, leaf.shape)
+        if leaf.dtype == jax.numpy.bfloat16 and arr.dtype == np.uint16:
+            arr = arr.view(jax.numpy.bfloat16)
         leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -15,7 +15,14 @@ difference two scan lengths to cancel dispatch constants):
   * led_encode        — main LED encoder over [B, S]
   * decode_copy       — LED decoder + copy head + mixture over [B, T]
   * fwd_loss          — whole forward + loss
+  * led_encode_bwd    — fwd+bwd of the LED encoder (all-param grads)
+  * decode_copy_bwd   — fwd+bwd of decoder+copy (grads wrt params+enc_out)
+  * fwd_loss_bwd      — whole forward + loss + full grad (no optimizer)
+  * opt_update        — optimizer alone (adamw update + apply) on grads
   * train_step        — full fwd+bwd+optimizer (both encoder modes)
+
+Backward phases reduce EVERY grad leaf into the fenced scalar so XLA
+cannot dead-code-eliminate any branch of the vjp.
 
 Writes artifacts/train_phase_breakdown.json with --save.
 
@@ -290,6 +297,147 @@ def main():
 
         records["fwd_loss_ms"] = round(
             scan_diff(mk, params, store, batch) * 1e3, 3
+        )
+
+    # -- backward phases ----------------------------------------------------
+    # Each reduces EVERY grad leaf into the fenced scalar (tree-sum) so no
+    # branch of the vjp is dead-code-eliminated.
+    def tree_sum(tr):
+        return sum(
+            jnp.sum(x).astype(jnp.float32)
+            for x in jax.tree_util.tree_leaves(tr)
+        )
+
+    if on("led_encode_bwd"):
+        gmask = jnp.zeros((b, s), jnp.int32).at[:, 0].set(1)
+
+        def mk(T):
+            @jax.jit
+            def f(p, ids, mask, g, shift):
+                def body(c, i):
+                    def loss_fn(pp):
+                        out = led_encode(
+                            pp, led, jnp.roll(ids, shift + i, axis=1),
+                            mask, g, dtype=dtype,
+                        )
+                        return jnp.sum(out).astype(jnp.float32)
+
+                    l, grads = jax.value_and_grad(loss_fn)(p)
+                    return c + l + tree_sum(grads), None
+
+                return jax.lax.scan(body, 0.0, jnp.arange(T))[0]
+
+            return f
+
+        records["led_encode_bwd_ms"] = round(scan_diff(
+            mk, params["led"], batch["input_ids"], batch["attention_mask"],
+            gmask,
+        ) * 1e3, 3)
+
+    if on("decode_copy_bwd"):
+        enc_out = jax.jit(
+            lambda p, st, bt: rag_encode(p, cfg, st, bt, dtype=dtype)
+        )(params, store, batch)
+        jax.block_until_ready(enc_out.enc_hidden)
+
+        import dataclasses as _dc
+
+        def mk(T):
+            @jax.jit
+            def f(p, eo, dec, shift):
+                def body(c, i):
+                    # grads flow to params AND to the float activations
+                    # (enc_hidden/memory) — matching what the real bwd
+                    # propagates into the encoder — but not to int leaves
+                    # (masks, copy_seq, retrieved_idx), which jax.grad
+                    # rejects.
+                    def loss_fn(pp, hid, mem):
+                        ee = _dc.replace(eo, enc_hidden=hid, memory=mem)
+                        out, _, _ = rag_decode(
+                            pp, cfg, ee, jnp.roll(dec, shift + i, axis=1),
+                            dtype=dtype,
+                        )
+                        return jnp.sum(out).astype(jnp.float32)
+
+                    l, grads = jax.value_and_grad(
+                        loss_fn, argnums=(0, 1, 2)
+                    )(p, eo.enc_hidden, eo.memory)
+                    return c + l + tree_sum(grads), None
+
+                return jax.lax.scan(body, 0.0, jnp.arange(T))[0]
+
+            return f
+
+        records["decode_copy_bwd_ms"] = round(scan_diff(
+            mk, params, enc_out, batch["decoder_input_ids"]
+        ) * 1e3, 3)
+
+    if on("fwd_loss_bwd"):
+        def mk(T):
+            @jax.jit
+            def f(p, st, bt, shift):
+                def body(c, i):
+                    def loss_fn(pp):
+                        b2 = dict(bt)
+                        b2["input_ids"] = jnp.roll(
+                            bt["input_ids"], shift + i, axis=1
+                        )
+                        out, _, _ = rag_forward(pp, cfg, st, b2, dtype=dtype)
+                        return summarization_loss(
+                            out, bt["labels"], 0.1, led.pad_id
+                        )
+
+                    l, grads = jax.value_and_grad(loss_fn)(p)
+                    return c + l + tree_sum(grads), None
+
+                return jax.lax.scan(body, 0.0, jnp.arange(T))[0]
+
+            return f
+
+        records["fwd_loss_bwd_ms"] = round(
+            scan_diff(mk, params, store, batch) * 1e3, 3
+        )
+
+    if on("opt_update"):
+        hyper0 = TrainHyper(lr=3e-5, warmup_steps=10, total_steps=1000)
+        tx0 = build_optimizer(hyper0.lr, hyper0.warmup_steps,
+                              hyper0.total_steps)
+        state0 = TrainState.create(
+            jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
+            tx0,
+        )
+        grads0 = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, 1e-4), params
+        )
+
+        import optax
+
+        def mk(T):
+            @jax.jit
+            def f(st, gr, shift):
+                def body(s_, i):
+                    g2 = jax.tree_util.tree_map(
+                        lambda g: g * (1.0 + 1e-6 * (shift + i)), gr
+                    )
+                    updates, opt_state = tx0.update(
+                        g2, s_.opt_state, s_.params
+                    )
+                    new_params = optax.apply_updates(s_.params, updates)
+                    s_ = TrainState(params=new_params, opt_state=opt_state,
+                                    step=s_.step + 1)
+                    return s_, None
+
+                s_fin, _ = jax.lax.scan(body, st, jnp.arange(T))
+                return tree_sum(
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.ravel(x)[0], s_fin.params
+                    )
+                )
+
+            return f
+
+        records["opt_update_ms"] = round(
+            scan_diff(mk, state0, grads0) * 1e3, 3
         )
 
     # -- full train step, both encoder modes ------------------------------

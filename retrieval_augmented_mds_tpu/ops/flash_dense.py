@@ -231,6 +231,297 @@ def flash_dense_backward(q, k, v, key_bias, g, *, causal, interpret=None):
 
 
 # ---------------------------------------------------------------------------
+# Blocked (long-S) variant: online softmax over key blocks
+# ---------------------------------------------------------------------------
+# Above MAX_S the full [wq, S] score row no longer belongs in VMEM, so
+# this is the classic flash decomposition: forward streams key blocks
+# through a running (m, l, acc) in VMEM scratch and additionally emits
+# the logsumexp; backward recomputes probabilities blockwise from the
+# saved LSE in two kernels — dQ accumulates over key blocks (innermost),
+# dK/dV over query blocks (innermost). Enables training-time decoder
+# cross-attention to 8k–16k-token sources.
+
+def _k_block(s: int) -> int:
+    for wk in (512, 256, 128):
+        if s % wk == 0:
+            return wk
+    return 0
+
+
+def _blk_causal(s, jq, jk, wq, wk):
+    q_pos = jq * wq + jax.lax.broadcasted_iota(jnp.int32, (wq, wk), 0)
+    k_pos = jk * wk + jax.lax.broadcasted_iota(jnp.int32, (wq, wk), 1)
+    return jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+
+def _blocked_fwd_kernel(q_ref, k_ref, v_ref, kb_ref, out_ref, lse_ref,
+                        m_scr, l_scr, acc_scr, *, wq, wk, nk, causal):
+    jq = pl.program_id(1)
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    dh = q_ref.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    q = q_ref[0].astype(jnp.float32) * scale
+    s = jax.lax.dot_general(
+        q, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + kb_ref[0, 0][None, :]
+    if causal:
+        s = _blk_causal(s, jq, jk, wq, wk)
+
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[...] = m_new
+
+    @pl.when(jk == nk - 1)
+    def _emit():
+        denom = jnp.maximum(l_scr[...], 1e-30)
+        out_ref[0] = (acc_scr[...] / denom).astype(out_ref.dtype)
+        lse_ref[0, 0] = (m_scr[...] + jnp.log(denom))[:, 0]
+
+
+def _blocked_dq_kernel(q_ref, k_ref, v_ref, kb_ref, do_ref, lse_ref,
+                       delta_ref, dq_ref, dq_scr, *, wq, wk, nk, causal):
+    jq = pl.program_id(1)
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    dh = q_ref.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    q = q_ref[0].astype(jnp.float32) * scale
+    s = jax.lax.dot_general(
+        q, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + kb_ref[0, 0][None, :]
+    if causal:
+        s = _blk_causal(s, jq, jk, wq, wk)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [wq, wk]
+
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None])
+    dq_scr[...] += jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(jk == nk - 1)
+    def _emit():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _blocked_dkv_kernel(q_ref, k_ref, v_ref, kb_ref, do_ref, lse_ref,
+                        delta_ref, dk_ref, dv_ref, *, wq, wk, nq, causal):
+    jk = pl.program_id(1)
+    jq = pl.program_id(2)
+
+    dh = q_ref.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    q = q_ref[0].astype(jnp.float32) * scale
+    s = jax.lax.dot_general(
+        q, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + kb_ref[0, 0][None, :]
+    if causal:
+        s = _blk_causal(s, jq, jk, wq, wk)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [wq, wk]
+
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None])
+
+    dk_tile = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [wk, dh]; q already carries `scale`
+    dv_tile = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_ref[0] = dk_tile
+        dv_ref[0] = dv_tile
+
+    @pl.when(jq > 0)
+    def _acc():
+        dk_ref[0] += dk_tile
+        dv_ref[0] += dv_tile
+
+
+def _blocked_eligible(t: int, s: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and s > MAX_S
+        and _k_block(s) > 0
+        and _q_block(t) > 0
+    )
+
+
+def flash_dense_blocked(q, k, v, key_bias, *, causal, interpret=None):
+    """Long-S forward. Returns (out [B,H,T,dh], lse [B·H, 1, T] f32)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, nh, t, dh = q.shape
+    s = k.shape[2]
+    wq, wk = _q_block(t), _k_block(s)
+    nq, nk = t // wq, s // wk
+    bh = b * nh
+
+    out, lse = pl.pallas_call(
+        functools.partial(_blocked_fwd_kernel, wq=wq, wk=wk, nk=nk,
+                          causal=causal),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, 1, wk), lambda i, j, kb: (i // nh, 0, kb)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, 1, wq), lambda i, j, kb: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wq, 1), jnp.float32),
+            pltpu.VMEM((wq, 1), jnp.float32),
+            pltpu.VMEM((wq, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * t * s * dh * 2,
+            bytes_accessed=int(bh * (t * dh + 2 * nq * s * dh) * 2),
+            transcendentals=bh * t * s,
+        ),
+        interpret=interpret,
+    )(
+        q.reshape(bh, t, dh),
+        k.reshape(bh, s, dh),
+        v.reshape(bh, s, dh),
+        key_bias.astype(jnp.float32)[:, None, :],
+    )
+    return out.reshape(b, nh, t, dh), lse
+
+
+def flash_dense_blocked_backward(q, k, v, key_bias, out, lse, g, *,
+                                 causal, interpret=None):
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, nh, t, dh = q.shape
+    s = k.shape[2]
+    wq, wk = _q_block(t), _k_block(s)
+    nq, nk = t // wq, s // wk
+    bh = b * nh
+
+    qf = q.reshape(bh, t, dh)
+    kf = k.reshape(bh, s, dh)
+    vf = v.reshape(bh, s, dh)
+    gf = g.reshape(bh, t, dh)
+    kb = key_bias.astype(jnp.float32)[:, None, :]
+    # delta_i = Σ_d dO_i·O_i (the rowsum(p∘dp) identity) — tiny, in XLA
+    delta = jnp.sum(
+        gf.astype(jnp.float32) * out.reshape(bh, t, dh).astype(jnp.float32),
+        axis=-1,
+    )[:, None, :]  # [bh, 1, t]
+
+    dq = pl.pallas_call(
+        functools.partial(_blocked_dq_kernel, wq=wq, wk=wk, nk=nk,
+                          causal=causal),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, j, kb2: (i, j, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, j, kb2: (i, kb2, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, j, kb2: (i, kb2, 0)),
+            pl.BlockSpec((1, 1, wk), lambda i, j, kb2: (i // nh, 0, kb2)),
+            pl.BlockSpec((1, wq, dh), lambda i, j, kb2: (i, j, 0)),
+            pl.BlockSpec((1, 1, wq), lambda i, j, kb2: (i, 0, j)),
+            pl.BlockSpec((1, 1, wq), lambda i, j, kb2: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, wq, dh), lambda i, j, kb2: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((wq, dh), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * bh * t * s * dh * 2,
+            bytes_accessed=int(bh * (2 * t * dh + 2 * nq * s * dh) * 2),
+            transcendentals=bh * t * s,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, kb, gf, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_blocked_dkv_kernel, wq=wq, wk=wk, nq=nq,
+                          causal=causal),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, wq, dh), lambda i, kb2, j: (i, j, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+            pl.BlockSpec((1, 1, wk), lambda i, kb2, j: (i // nh, 0, kb2)),
+            pl.BlockSpec((1, wq, dh), lambda i, kb2, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, wq), lambda i, kb2, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, wq), lambda i, kb2, j: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+            pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * bh * t * s * dh * 2,
+            bytes_accessed=int(bh * (2 * nk * t * dh + 4 * s * dh) * 2),
+            transcendentals=bh * t * s,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, kb, gf, lse, delta)
+
+    return (
+        dq.reshape(b, nh, t, dh),
+        dk.reshape(b, nh, s, dh).astype(k.dtype),
+        dv.reshape(b, nh, s, dh).astype(v.dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
 # XLA composite of the same math (correctness oracle + CPU/fallback path)
 # ---------------------------------------------------------------------------
 
@@ -254,7 +545,8 @@ def _dense_xla(q, k, v, key_bias, causal):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def dense_rows(q, k, v, key_bias, causal):
-    """Dense attention rows; Pallas on TPU, XLA composite elsewhere.
+    """Dense attention rows; Pallas on TPU (single-pass for S ≤ MAX_S,
+    blocked online-softmax above), XLA composite elsewhere.
 
     ``key_bias`` carries no gradient (it is a padding mask here; the
     copy head's differentiable memory bias keeps its own XLA path,
@@ -263,24 +555,43 @@ def dense_rows(q, k, v, key_bias, causal):
     from .flash_sliding import _force_xla
 
     t, s = q.shape[2], k.shape[2]
-    if _flash_eligible(t, s) and not _force_xla():
-        return flash_dense_attention(q, k, v, key_bias, causal=causal)
+    if not _force_xla():
+        if _flash_eligible(t, s):
+            return flash_dense_attention(q, k, v, key_bias, causal=causal)
+        if _blocked_eligible(t, s):
+            return flash_dense_blocked(q, k, v, key_bias, causal=causal)[0]
     return _dense_xla(q, k, v, key_bias, causal)
 
 
 def _fwd(q, k, v, key_bias, causal):
-    return dense_rows(q, k, v, key_bias, causal), (q, k, v, key_bias)
+    from .flash_sliding import _force_xla
+
+    t, s = q.shape[2], k.shape[2]
+    if _blocked_eligible(t, s) and not _force_xla():
+        # the blocked bwd needs out + lse (recomputing the online pass
+        # would cost a second forward); the single-pass path recomputes
+        # per-tile for free and saves inputs only
+        out, lse = flash_dense_blocked(q, k, v, key_bias, causal=causal)
+        return out, (q, k, v, key_bias, out, lse)
+    return dense_rows(q, k, v, key_bias, causal), (q, k, v, key_bias,
+                                                   None, None)
 
 
 def _bwd(causal, res, g):
     from .flash_sliding import _force_xla
 
-    q, k, v, key_bias = res
+    q, k, v, key_bias, out, lse = res
     t, s = q.shape[2], k.shape[2]
-    if _flash_eligible(t, s) and not _force_xla():
-        dq, dk, dv = flash_dense_backward(q, k, v, key_bias, g,
-                                          causal=causal)
-        return dq, dk, dv, jnp.zeros_like(key_bias)
+    if not _force_xla():
+        if _flash_eligible(t, s):
+            dq, dk, dv = flash_dense_backward(q, k, v, key_bias, g,
+                                              causal=causal)
+            return dq, dk, dv, jnp.zeros_like(key_bias)
+        if _blocked_eligible(t, s):
+            dq, dk, dv = flash_dense_blocked_backward(
+                q, k, v, key_bias, out, lse, g, causal=causal
+            )
+            return dq, dk, dv, jnp.zeros_like(key_bias)
     _, vjp = jax.vjp(lambda *a: _dense_xla(*a, causal), q, k, v, key_bias)
     return vjp(g)
 

@@ -25,6 +25,8 @@ from retrieval_augmented_mds_tpu.ops.flash_dense import (
     dense_rows,
     flash_dense_attention,
     flash_dense_backward,
+    flash_dense_blocked,
+    flash_dense_blocked_backward,
 )
 
 
@@ -120,3 +122,67 @@ def test_q_block():
     assert _q_block(24) == 8
     assert _q_block(1) == 0
     assert _q_block(7) == 0
+
+
+# ---------------------------------------------------------------------------
+# blocked (long-S) variant
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal,t,s", [
+    (False, 32, 384),   # nk = 3: exercises the online-softmax carry
+    (True, 384, 384),   # causal, nq = nk = 3
+])
+def test_blocked_fwd_matches_oracle(causal, t, s):
+    q, k, v, kb = _setup(t=t, s=s, pad=not causal)
+    got, lse = flash_dense_blocked(q, k, v, kb, causal=causal,
+                                   interpret=True)
+    want = _dense_xla(q, k, v, kb, causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # lse parity vs direct logsumexp of the masked logits
+    b, nh, _, dh = q.shape
+    scale = 1.0 / np.sqrt(dh)
+    logits = np.einsum(
+        "bhqd,bhkd->bhqk", np.asarray(q) * scale, np.asarray(k)
+    ) + np.asarray(kb)[:, None, None, :]
+    if causal:
+        qi = np.arange(t)[:, None]
+        ki = np.arange(s)[None, :]
+        logits = np.where((ki <= qi)[None, None], logits, -1e9)
+    ref_lse = np.log(np.sum(np.exp(
+        logits - logits.max(-1, keepdims=True)
+    ), -1)) + logits.max(-1)
+    np.testing.assert_allclose(
+        np.asarray(lse).reshape(b, nh, t), ref_lse, rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("causal,t,s", [
+    (False, 32, 384),
+    (True, 384, 384),
+])
+def test_blocked_bwd_matches_oracle(causal, t, s):
+    q, k, v, kb = _setup(t=t, s=s, pad=not causal)
+    out, lse = flash_dense_blocked(q, k, v, kb, causal=causal,
+                                   interpret=True)
+    g = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
+    dq, dk, dv = flash_dense_blocked_backward(
+        q, k, v, kb, out, lse, g, causal=causal, interpret=True
+    )
+    _, vjp = jax.vjp(lambda a, b_, c: _dense_xla(a, b_, c, kb, causal),
+                     q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_k_block():
+    from retrieval_augmented_mds_tpu.ops.flash_dense import _k_block
+
+    assert _k_block(8192) == 512
+    assert _k_block(384) == 128
+    assert _k_block(100) == 0

@@ -252,7 +252,8 @@ def main():
         if not args.skip_composite_flops:
             os.environ["RAMDS_FORCE_XLA_OPS"] = "1"
             try:
-                for bb in sorted({b, min(b, 4), min(b, 2)}, reverse=True):
+                for bb in sorted({b, min(b, 4), min(b, 2), 1},
+                                 reverse=True):
                     bt = jax.tree_util.tree_map(lambda x: x[:bb], batch)
                     try:
                         # fresh jit wrapper: the flag is read at trace

@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--enc16k", action="store_true",
                     help="also measure the 16k-token encoder forward")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-layer gradient checkpointing in the step "
+                    "(trade recompute flops for activation memory)")
     ap.add_argument("--separate-mem", action="store_true",
                     help="memory_model_fixed=False: reference-faithful "
                     "separate memory encoder (two re-encodes per step) "
@@ -194,7 +197,8 @@ def main():
     hyper = TrainHyper(lr=3e-5, warmup_steps=10, total_steps=1000)
     tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps)
     state = TrainState.create(params, tx)
-    step = make_train_step(cfg, tx, hyper, dtype=jnp.bfloat16)
+    step = make_train_step(cfg, tx, hyper, dtype=jnp.bfloat16,
+                           remat=args.remat)
 
     records = []
     # enc16k FIRST: the train step donates `state` (and with it `params`),
@@ -277,6 +281,7 @@ def main():
             "batch": b, "src": s, "tgt": t,
             "memory": args.mem_k * args.mem_len,
             "memory_model_fixed": fixed,
+            "remat": args.remat,
             "step_ms": round(t_step * 1e3, 2),
             "xla_flops": flops,
             "mfu_pct_v5e_bf16": round(

@@ -169,7 +169,8 @@ def _copy_kv(params, cfg, enc_out, dtype):
     from .copy_decoder import precompute_copy_kv
 
     return precompute_copy_kv(
-        params["copy_head"], enc_out.memory.astype(dtype), cfg.copy_heads
+        params["copy_head"], enc_out.memory.astype(dtype),
+        cfg.copy_heads or cfg.led.n_heads,
     )
 
 

@@ -62,7 +62,11 @@ class RAGConfig:
     gates_mode: str = "both"  # model_config.py:37
     skip_residual: bool = False  # model_config.py:38
     copy_decoder_layers: int = 1  # model_config.py:24
-    copy_heads: int = 1
+    # copy-attention heads; 0 = follow the LED decoder's head count, the
+    # reference default (CopyDecoderLayer uses
+    # config.decoder_attention_heads, decoder_own.py:193-195 → 12 for
+    # LED-base). Param shapes are head-count-independent.
+    copy_heads: int = 0
     memory_forcing: str = "no_forcing"  # model_config.py:40
     copy_forcing: float = 0.0  # model_config.py:81
     # memory_model_fixed=True (TPU-first default): the index-side mips
@@ -459,7 +463,8 @@ def rag_decode(
         gen_gate, copy_gate, copy_probs = copy_decoder_forward(
             params["copy_head"], hid, enc_out.memory.astype(hid.dtype),
             enc_out.memory_mask, enc_out.memory_bias,
-            n_heads=cfg.copy_heads, gates_mode=cfg.gates_mode,
+            n_heads=cfg.copy_heads or cfg.led.n_heads,
+            gates_mode=cfg.gates_mode,
             skip_residual=cfg.skip_residual, copy_kv=copy_kv,
         )
         lm_logits = led_lm_logits(params["led"], hid)

@@ -237,9 +237,11 @@ def flash_dense_backward(q, k, v, key_bias, g, *, causal, interpret=None):
 # this is the classic flash decomposition: forward streams key blocks
 # through a running (m, l, acc) in VMEM scratch and additionally emits
 # the logsumexp; backward recomputes probabilities blockwise from the
-# saved LSE in two kernels — dQ accumulates over key blocks (innermost),
-# dK/dV over query blocks (innermost). Enables training-time decoder
-# cross-attention to 8k–16k-token sources.
+# saved LSE in ONE merged kernel (dK/dV accumulate over the innermost
+# query sweep, dQ into a resident full-[T,dh] output block — decoder T
+# is short), 5 matmul-units per tile pair. A dq/dkv split (7 units) is
+# kept only for T too large for a resident dQ block. Enables
+# training-time decoder cross-attention to 8k–16k-token sources.
 
 def _k_block(s: int) -> int:
     for wk in (512, 256, 128):
@@ -293,6 +295,77 @@ def _blocked_fwd_kernel(q_ref, k_ref, v_ref, kb_ref, out_ref, lse_ref,
         denom = jnp.maximum(l_scr[...], 1e-30)
         out_ref[0] = (acc_scr[...] / denom).astype(out_ref.dtype)
         lse_ref[0, 0] = (m_scr[...] + jnp.log(denom))[:, 0]
+
+
+def _blocked_merged_bwd_kernel(q_ref, k_ref, v_ref, kb_ref, do_ref,
+                               lse_ref, delta_ref,
+                               dq_ref,  # out [1, T, dh] f32, resident
+                               dk_ref, dv_ref,  # out [1, wk, dh] f32
+                               *, wq, wk, nq, causal):
+    """One kernel for dQ + dK + dV — 5 matmul-units per (q,k) tile pair
+    vs 7 for the dq/dkv split (which recomputes s and dp twice).
+
+    Grid (bh, nk, nq), q innermost: dK/dV accumulate in their output
+    blocks across the q sweep (constant block index → resident, the
+    standard revisited-output reduction), while dQ accumulates into a
+    FULL [T, dh] f32 output block whose index is constant for the whole
+    (nk × nq) subgrid — it stays in VMEM for the entire row and is
+    copied out to HBM exactly once. Decode-side T is short, so the
+    resident block is small (T=256, dh=64 → 64 KB); the caller guards
+    on its VMEM footprint."""
+    kb = pl.program_id(1)
+    jq = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(kb == 0, jq == 0))
+    def _zero_dq():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    dh = q_ref.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    q = q_ref[0].astype(jnp.float32) * scale
+    s = jax.lax.dot_general(
+        q, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + kb_ref[0, 0][None, :]
+    if causal:
+        s = _blk_causal(s, jq, kb, wq, wk)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [wq, wk]
+
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None])
+
+    dk_tile = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [wk, dh]; q already carries `scale`
+    dv_tile = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_ref[0] = dk_tile
+        dv_ref[0] = dv_tile
+
+    @pl.when(jq > 0)
+    def _acc():
+        dk_ref[0] += dk_tile
+        dv_ref[0] += dv_tile
+
+    dq_c = jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [wq, dh]
+    rows = pl.ds(jq * wq, wq)
+    dq_ref[0, rows, :] = dq_ref[0, rows, :] + dq_c
 
 
 def _blocked_dq_kernel(q_ref, k_ref, v_ref, kb_ref, do_ref, lse_ref,
@@ -439,7 +512,7 @@ def flash_dense_blocked(q, k, v, key_bias, *, causal, interpret=None):
 
 
 def flash_dense_blocked_backward(q, k, v, key_bias, out, lse, g, *,
-                                 causal, interpret=None):
+                                 causal, interpret=None, merged=None):
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
@@ -460,6 +533,47 @@ def flash_dense_blocked_backward(q, k, v, key_bias, out, lse, g, *,
         gf.astype(jnp.float32) * out.reshape(bh, t, dh).astype(jnp.float32),
         axis=-1,
     )[:, None, :]  # [bh, 1, t]
+
+    if merged is None:  # resident f32 dQ block must fit in ≤ 2 MB of VMEM
+        merged = t * dh * 4 <= 2 << 20
+    if merged:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_blocked_merged_bwd_kernel, wq=wq, wk=wk,
+                              nq=nq, causal=causal),
+            grid=(bh, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, wq, dh), lambda i, kb2, j: (i, j, 0)),
+                pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+                pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+                pl.BlockSpec((1, 1, wk),
+                             lambda i, kb2, j: (i // nh, 0, kb2)),
+                pl.BlockSpec((1, wq, dh), lambda i, kb2, j: (i, j, 0)),
+                pl.BlockSpec((1, 1, wq), lambda i, kb2, j: (i, 0, j)),
+                pl.BlockSpec((1, 1, wq), lambda i, kb2, j: (i, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, t, dh), lambda i, kb2, j: (i, 0, 0)),
+                pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+                pl.BlockSpec((1, wk, dh), lambda i, kb2, j: (i, kb2, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, t, dh), jnp.float32),
+                jax.ShapeDtypeStruct((bh, s, dh), jnp.float32),
+                jax.ShapeDtypeStruct((bh, s, dh), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=5 * bh * t * s * dh * 2,
+                bytes_accessed=int(bh * (2 * nk * t * dh + 2 * s * dh) * 2
+                                   + bh * (t + 2 * s) * dh * 4),
+                transcendentals=bh * t * s,
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, kb, gf, lse, delta)
+        return (
+            dq.reshape(b, nh, t, dh).astype(q.dtype),
+            dk.reshape(b, nh, s, dh).astype(k.dtype),
+            dv.reshape(b, nh, s, dh).astype(v.dtype),
+        )
 
     dq = pl.pallas_call(
         functools.partial(_blocked_dq_kernel, wq=wq, wk=wk, nk=nk,

@@ -9,8 +9,8 @@ columns — HBM traffic drops to the q/k/v/out streams.
 
 Scope: the *local-query* rows (the O(T) part). Global-token rows are a
 tiny [G, T] dense attention computed in XLA by the caller, exactly as
-before. Backward = recompute via the XLA composite (jax.custom_vjp), so
-training works today; a fused backward kernel is the follow-up.
+before. Backward = the merged fused kernel in ops/flash_sliding_bwd.py,
+fed by this forward's saved softmax stats (return_stats=True).
 """
 
 from __future__ import annotations
@@ -44,6 +44,8 @@ def _kernel(
     vg_ref,  # [1, G_PAD, dh]
     gb_ref,  # [1, 1, G_PAD] additive global-column bias (0 / -inf)
     out_ref,  # [1, w, dh]
+    m_ref,  # [1, 1, w] softmax running max (saved for the fused bwd)
+    l_ref,  # [1, 1, w] softmax denominator
     *,
     w: int,
     n_blocks: int,
@@ -100,7 +102,10 @@ def _kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = (acc / jnp.maximum(denom, 1e-30)).astype(out_ref.dtype)
+    denom = jnp.maximum(denom, 1e-30)
+    out_ref[0] = (acc / denom).astype(out_ref.dtype)
+    m_ref[0, 0] = m[:, 0]
+    l_ref[0, 0] = denom[:, 0]
 
 
 def flash_sliding_attention(
@@ -114,8 +119,12 @@ def flash_sliding_attention(
     *,
     window: int,
     interpret: bool | None = None,
+    return_stats: bool = False,
 ) -> jax.Array:
-    """Local-query rows of sliding+global attention. Returns [B, nh, T, dh]."""
+    """Local-query rows of sliding+global attention. Returns [B, nh, T, dh];
+    with ``return_stats`` also the softmax (max m, denominator l) as
+    [B*nh, 1, T] f32 — the residuals the fused backward kernel consumes
+    instead of recomputing them (ops/flash_sliding_bwd.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, nh, t, dh = q.shape
@@ -145,7 +154,7 @@ def flash_sliding_attention(
         (1, 1, w), lambda i, j, d=d: (i // nh, 0, blk(j, d))
     )
 
-    out = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         functools.partial(_kernel, w=w, n_blocks=nb, dh=dh),
         grid=(bh, nb),
         in_specs=[
@@ -157,8 +166,16 @@ def flash_sliding_attention(
             pl.BlockSpec((1, G_PAD, dh), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, G_PAD), lambda i, j: (i // nh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * t * (3 * w + G_PAD) * dh * 2,
             bytes_accessed=int(bh * t * dh * 2 * 4),
@@ -174,7 +191,10 @@ def flash_sliding_attention(
         key_bias.astype(jnp.float32)[:, None, :],
         kgf, vgf, gbf,
     )
-    return out.reshape(b, nh, t, dh)
+    out = out.reshape(b, nh, t, dh)
+    if return_stats:
+        return out, m, l
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -239,18 +259,31 @@ def sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, window):
 
 
 def _fwd(q, k, v, key_bias, kg, vg, g_bias, window):
-    out = sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, window)
-    return out, (q, k, v, key_bias, kg, vg, g_bias)
+    if (jax.default_backend() == "tpu" and window % 128 == 0
+            and not _force_xla()):
+        out, m, l = flash_sliding_attention(
+            q, k, v, key_bias, kg, vg, g_bias, window=window,
+            return_stats=True,
+        )
+        # out is a residual: delta = rowsum(do * out) replaces the
+        # backward's p*dp reduction (FlashAttention-2 identity)
+        return out, (q, k, v, key_bias, kg, vg, g_bias, out, m, l)
+    out = _local_rows_xla(q, k, v, key_bias, kg, vg, g_bias, window)
+    return out, (q, k, v, key_bias, kg, vg, g_bias, None, None, None)
 
 
 def _bwd(window, res, g):
-    q, k, v, key_bias, kg, vg, g_bias = res
-    if (jax.default_backend() == "tpu" and window % 128 == 0
-            and not _force_xla()):
+    q, k, v, key_bias, kg, vg, g_bias, out, m, l = res
+    if out is not None:
         from .flash_sliding_bwd import flash_sliding_backward
 
+        b, nh, t, _ = q.shape
+        delta = jnp.sum(
+            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+        ).reshape(b * nh, 1, t)
         dq, dk, dv, dkg, dvg = flash_sliding_backward(
-            q, k, v, key_bias, kg, vg, g_bias, g, window=window
+            q, k, v, key_bias, kg, vg, g_bias, g, m, l, delta,
+            window=window,
         )
         return (
             dq, dk, dv, jnp.zeros_like(key_bias), dkg, dvg,

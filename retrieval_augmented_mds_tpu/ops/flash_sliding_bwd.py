@@ -1,17 +1,30 @@
-"""Fused backward kernels for sliding-window + global attention.
+"""Fused backward kernel for sliding-window + global attention.
 
 Completes the flash-style pair (forward in ops/flash_sliding.py): the
-backward never materializes banded logits in HBM either. Two kernels:
+backward never materializes banded logits in HBM either.
 
-  * kernel 1 — grid over QUERY blocks: recompute the block softmax,
-    emit dq and the per-row stats (max m, denominator l, delta =
-    Σ p⊙dp), and accumulate the global-token key/value grads (dkg, dvg)
-    across blocks in VMEM scratch.
-  * kernel 2 — grid over KEY blocks: each key block is attended by the
-    3 neighboring query blocks; reconstruct just the [w, w] probability
-    slab facing this key block from (q_u, k_i, m_u, l_u), and accumulate
-    dk, dv. Out-of-range neighbor blocks (clamped specs) are zeroed
-    explicitly to avoid double counting at the edges.
+ONE merged kernel (grid over query blocks), not the classic dq-kernel +
+dkv-kernel split. The split recomputes the score and dp matmuls twice —
+21 [w,w,dh] matmul-units per block vs the 15 of an ideal fused flash
+backward (measured on v5e as a 3.4x bwd/fwd ratio where flash-ideal is
+~2.5x). The merge exploits the TPU grid's sequential execution: at grid
+step j the kernel owns the pair group
+
+    G(j) = {(q_j,k_j), (q_j,k_{j+1}), (q_{j+1},k_j)}
+
+so every banded (query-block, key-block) pair is visited exactly once.
+dq_j / dk_j / dv_j each still need one contribution produced at step
+j-1 (pairs (q_j,k_{j-1}) and (q_{j-1},k_j) belong to group j-1): those
+live in VMEM carry scratch for exactly one step, and block j's grads
+are complete — and emitted — at step j.
+
+Softmax statistics (running max m, denominator l) are NOT recomputed:
+the forward kernel emits them (ops/flash_sliding.py `return_stats`),
+and the per-row delta = sum_k p*dp collapses to rowsum(do * out) — the
+FlashAttention-2 identity — computed by the caller in XLA. m and l stay
+separate (not folded into one LSE): for a fully-masked row m = -1e9 and
+the fold would lose the log-denominator to f32 rounding, silently
+turning the forward's uniform-probability convention into p = 1.
 
 Mask inputs (key_bias, g_bias) are non-differentiable → zero grads.
 """
@@ -28,16 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .flash_sliding import G_PAD, NEG_INF
 
 
-def _bwd_dq_kernel(
-    q_ref, kp_ref, kc_ref, kn_ref, vp_ref, vc_ref, vn_ref,
-    kb_p_ref, kb_c_ref, kb_n_ref,  # [1, 1, w]
-    kg_ref, vg_ref,  # [1, G_PAD, dh]
+def _bwd_kernel(
+    qc_ref, qn_ref,  # [1, w, dh] query blocks j, j+1 (clamped)
+    doc_ref, don_ref,  # [1, w, dh] their dout
+    kc_ref, kn_ref,  # [1, w, dh] key blocks j, j+1 (clamped)
+    vc_ref, vn_ref,
+    kbc_ref, kbn_ref,  # [1, 1, w] additive key bias of blocks j, j+1
+    mc_ref, mn_ref,  # [1, 1, w] forward stats of query blocks j, j+1
+    lc_ref, ln_ref,
+    dc_ref, dn_ref,  # [1, 1, w] delta = rowsum(do*out)
+    kg_ref, vg_ref,  # [1, G_PAD, dh] global-token keys/values
     gb_ref,  # [1, 1, G_PAD]
-    do_ref,  # [1, w, dh]
-    dq_ref,  # out [1, w, dh]
-    m_ref, l_ref, delta_ref,  # out [1, 1, w] (per query row)
-    dkg_ref, dvg_ref,  # out [1, G_PAD, dh]
-    dkg_acc, dvg_acc,  # scratch [G_PAD, dh] f32
+    dq_ref, dk_ref, dv_ref,  # out [1, w, dh] block j
+    dkg_ref, dvg_ref,  # out [1, G_PAD, dh] f32, accumulated across j
+    dq_carry, dk_carry, dv_carry,  # scratch [w, dh] f32
     *,
     w: int,
     n_blocks: int,
@@ -48,176 +65,131 @@ def _bwd_dq_kernel(
 
     @pl.when(j == 0)
     def _init():
-        dkg_acc[:] = jnp.zeros_like(dkg_acc)
-        dvg_acc[:] = jnp.zeros_like(dvg_acc)
+        dq_carry[:] = jnp.zeros_like(dq_carry)
+        dk_carry[:] = jnp.zeros_like(dk_carry)
+        dv_carry[:] = jnp.zeros_like(dv_carry)
+        dkg_ref[0] = jnp.zeros_like(dkg_ref[0])
+        dvg_ref[0] = jnp.zeros_like(dvg_ref[0])
 
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-    q = q_ref[0].astype(jnp.float32) * scale  # [w, dh]
-    do = do_ref[0].astype(jnp.float32)  # [w, dh]
-    q_pos = j * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    qc = qc_ref[0].astype(jnp.float32) * scale  # [w, dh], scale folded in
+    qn = qn_ref[0].astype(jnp.float32) * scale
+    doc = doc_ref[0].astype(jnp.float32)
+    don = don_ref[0].astype(jnp.float32)
+    kc = kc_ref[0].astype(jnp.float32)
+    kn = kn_ref[0].astype(jnp.float32)
+    vc = vc_ref[0].astype(jnp.float32)
+    vn = vn_ref[0].astype(jnp.float32)
+    mc = mc_ref[0, 0][:, None]
+    mn = mn_ref[0, 0][:, None]
+    lc = jnp.maximum(lc_ref[0, 0][:, None], 1e-30)
+    ln = jnp.maximum(ln_ref[0, 0][:, None], 1e-30)
+    dlc = dc_ref[0, 0][:, None]
+    dln = dn_ref[0, 0][:, None]
+    # pairs touching block j+1 are void on the last step (clamped refs
+    # would alias block j; the scalar mask also covers the all-masked-row
+    # case where m = -1e9 makes the position mask ineffective)
+    nxt = jnp.where(j + 1 < n_blocks, 1.0, 0.0)
 
-    parts = []
-    m = jnp.full((w, 1), NEG_INF, jnp.float32)
-    for t, (k_ref, kb_ref) in enumerate(
-        [(kp_ref, kb_p_ref), (kc_ref, kb_c_ref), (kn_ref, kb_n_ref)]
-    ):
+    def pair(q_s, do_a, m_a, l_a, delta_a, qblk, kmat, vmat, kb, kblk,
+             gate):
+        """One (query-block, key-block) interaction: returns the three
+        grad contributions (dq to the query block — WITHOUT the final
+        scale factor — dk, dv to the key block)."""
         s = jax.lax.dot_general(
-            q, k_ref[0].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q_s, kmat, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        blk = j + t - 1
-        k_pos = blk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        )  # [w, w]
+        q_pos = qblk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        k_pos = kblk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
         ok = (
             (jnp.abs(k_pos - q_pos) <= w)
-            & (k_pos >= 0)
-            & (k_pos < n_blocks * w)
+            & (k_pos >= 0) & (k_pos < n_blocks * w)
+            & (q_pos >= 0) & (q_pos < n_blocks * w)
         )
-        s = jnp.where(ok, s + kb_ref[0, 0][None, :], NEG_INF)
-        parts.append(s)
-        m = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        s = jnp.where(ok, s + kb[None, :], NEG_INF)
+        p = (jnp.exp(s - m_a) / l_a) * gate
+        dp = jax.lax.dot_general(
+            do_a, vmat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_a)
+        dq_c = jax.lax.dot_general(
+            ds, kmat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_c = jax.lax.dot_general(
+            ds, q_s, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # q_s carries the scale → dk is final
+        dv_c = jax.lax.dot_general(
+            p, do_a, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq_c, dk_c, dv_c
 
+    kbc = kbc_ref[0, 0]
+    kbn = kbn_ref[0, 0]
+
+    # pair (q_j, k_j)
+    dq_a, dk_a, dv_a = pair(qc, doc, mc, lc, dlc, j, kc, vc, kbc, j, 1.0)
+    # pair (q_j, k_{j+1}) — dk/dv land in next step's carry
+    dq_b, dk_b, dv_b = pair(qc, doc, mc, lc, dlc, j, kn, vn, kbn, j + 1,
+                            nxt)
+    # pair (q_{j+1}, k_j) — dq lands in next step's carry
+    dq_c, dk_c, dv_c = pair(qn, don, mn, ln, dln, j + 1, kc, vc, kbc, j,
+                            nxt)
+
+    # global columns for q_j
     sg = jax.lax.dot_general(
-        q, kg_ref[0].astype(jnp.float32),
+        qc, kg_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + gb_ref[0, 0][None, :]
-    m = jnp.maximum(m, jnp.max(sg, axis=-1, keepdims=True))
-
-    es = [jnp.exp(s - m) for s in parts]
-    eg = jnp.exp(sg - m)
-    l = sum(e.sum(axis=-1, keepdims=True) for e in es) + eg.sum(
-        axis=-1, keepdims=True
-    )
-    l = jnp.maximum(l, 1e-30)
-
-    # dp and delta
-    dps = []
-    delta = jnp.zeros((w, 1), jnp.float32)
-    for t, v_ref in enumerate([vp_ref, vc_ref, vn_ref]):
-        dp = jax.lax.dot_general(
-            do, v_ref[0].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [w, w]
-        dps.append(dp)
-        delta = delta + jnp.sum((es[t] / l) * dp, axis=-1, keepdims=True)
+    pg = jnp.exp(sg - mc) / lc
     dp_g = jax.lax.dot_general(
-        do, vg_ref[0].astype(jnp.float32),
+        doc, vg_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [w, G]
-    pg = eg / l
-    delta = delta + jnp.sum(pg * dp_g, axis=-1, keepdims=True)
-
-    dq = jnp.zeros((w, dh), jnp.float32)
-    for t, k_ref in enumerate([kp_ref, kc_ref, kn_ref]):
-        ds = (es[t] / l) * (dps[t] - delta)
-        dq = dq + jax.lax.dot_general(
-            ds, k_ref[0].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    ds_g = pg * (dp_g - delta)
-    dq = dq + jax.lax.dot_general(
+    )
+    ds_g = pg * (dp_g - dlc)
+    dq_g = jax.lax.dot_general(
         ds_g, kg_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
-    m_ref[0, 0] = m[:, 0]
-    l_ref[0, 0] = l[:, 0]
-    delta_ref[0, 0] = delta[:, 0]
+    dq_ref[0] = (
+        (dq_carry[:] + dq_a + dq_b + dq_g) * scale
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = (dk_carry[:] + dk_a + dk_c).astype(dk_ref.dtype)
+    dv_ref[0] = (dv_carry[:] + dv_a + dv_c).astype(dv_ref.dtype)
+    dq_carry[:] = dq_c
+    dk_carry[:] = dk_b
+    dv_carry[:] = dv_b
 
-    dkg_acc[:] = dkg_acc[:] + jax.lax.dot_general(
-        ds_g, q, dimension_numbers=(((0,), (0,)), ((), ())),
+    dkg_ref[0] = dkg_ref[0] + jax.lax.dot_general(
+        ds_g, qc, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [G, dh] (q already carries the scale)
-    dvg_acc[:] = dvg_acc[:] + jax.lax.dot_general(
-        pg, do, dimension_numbers=(((0,), (0,)), ((), ())),
+    )
+    dvg_ref[0] = dvg_ref[0] + jax.lax.dot_general(
+        pg, doc, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(j == nn - 1)
-    def _emit():
-        dkg_ref[0] = dkg_acc[:].astype(dkg_ref.dtype)
-        dvg_ref[0] = dvg_acc[:].astype(dvg_ref.dtype)
-
-
-def _bwd_dkv_kernel(
-    k_ref, v_ref,  # [1, w, dh] THIS key block (jk)
-    qm_ref, qc_ref, qp_ref,  # [1, w, dh] query blocks jk-1, jk, jk+1
-    dom_ref, doc_ref, dop_ref,  # [1, w, dh] their dout
-    kb_ref,  # [1, 1, w] key bias of THIS block
-    mm_ref, mc_ref, mp_ref,  # [1, 1, w] stats of query blocks
-    lm_ref, lc_ref, lp_ref,
-    dm_ref, dc_ref, dp_ref,
-    dk_ref, dv_ref,  # out [1, w, dh]
-    *,
-    w: int,
-    n_blocks: int,
-    dh: int,
-):
-    jk = pl.program_id(1)
-    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    kb = kb_ref[0, 0]
-    k_pos = jk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-
-    dk = jnp.zeros((w, dh), jnp.float32)
-    dv = jnp.zeros((w, dh), jnp.float32)
-    for u, (q_ref, do_ref, m_ref, l_ref, d_ref) in enumerate(
-        [
-            (qm_ref, dom_ref, mm_ref, lm_ref, dm_ref),
-            (qc_ref, doc_ref, mc_ref, lc_ref, dc_ref),
-            (qp_ref, dop_ref, mp_ref, lp_ref, dp_ref),
-        ]
-    ):
-        ub = jk + u - 1  # true query-block index (specs clamp at edges)
-        valid = jnp.logical_and(ub >= 0, ub < n_blocks)
-        q = q_ref[0].astype(jnp.float32) * scale
-        do = do_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        q_pos = ub * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-        ok = (
-            (jnp.abs(k_pos - q_pos) <= w)
-            & (q_pos >= 0)
-            & (q_pos < n_blocks * w)
-        )
-        s = jnp.where(ok, s + kb[None, :], NEG_INF)
-        p = jnp.exp(s - m_ref[0, 0][:, None]) / jnp.maximum(
-            l_ref[0, 0][:, None], 1e-30
-        )
-        p = jnp.where(valid, p, 0.0)
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - d_ref[0, 0][:, None])
-        dk = dk + jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dv = dv + jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
 
 def flash_sliding_backward(
-    q, k, v, key_bias, kg, vg, g_bias, do, *, window: int,
+    q, k, v, key_bias, kg, vg, g_bias, do, m, l, delta, *, window: int,
     interpret: bool | None = None,
 ):
     """Returns (dq, dk_band, dv_band, dkg, dvg) with the forward's
     [B, nh, T, dh] / [B, nh, G, dh] shapes. Caller adds the gather
-    adjoints (kg/vg are separate custom_vjp inputs)."""
+    adjoints (kg/vg are separate custom_vjp inputs).
+
+    m, l: the forward kernel's softmax stats, [B*nh, 1, T] f32
+    (flash_sliding_attention(..., return_stats=True)).
+    delta: rowsum(do * out), [B*nh, 1, T] f32.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, nh, t, dh = q.shape
@@ -252,65 +224,43 @@ def flash_sliding_backward(
     )
     gspec = pl.BlockSpec((1, G_PAD, dh), lambda i, j: (i, 0, 0))
 
-    dq, m, l, delta, dkg, dvg = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, w=w, n_blocks=nb, dh=dh),
+    dq, dk, dv, dkg, dvg = pl.pallas_call(
+        functools.partial(_bwd_kernel, w=w, n_blocks=nb, dh=dh),
         grid=(bh, nb),
         in_specs=[
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            kvspec(-1), kvspec(0), kvspec(1),
-            kvspec(-1), kvspec(0), kvspec(1),
-            kbspec(-1), kbspec(0), kbspec(1),
+            kvspec(0), kvspec(1),  # q
+            kvspec(0), kvspec(1),  # do
+            kvspec(0), kvspec(1),  # k
+            kvspec(0), kvspec(1),  # v
+            kbspec(0), kbspec(1),
+            statspec(0), statspec(1),  # m
+            statspec(0), statspec(1),  # l
+            statspec(0), statspec(1),  # delta
             gspec, gspec,
             pl.BlockSpec((1, 1, G_PAD), lambda i, j: (i // nh, 0, 0)),
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
             gspec, gspec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
-            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
-            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, G_PAD, dh), jnp.float32),
             jax.ShapeDtypeStruct((bh, G_PAD, dh), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G_PAD, dh), jnp.float32),
-            pltpu.VMEM((G_PAD, dh), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, kf, kf, vf, vf, vf, kbf, kbf, kbf, kgf, vgf, gbf, dof)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, w=w, n_blocks=nb, dh=dh),
-        grid=(bh, nb),
-        in_specs=[
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            kvspec(-1), kvspec(0), kvspec(1),  # q blocks jk-1..jk+1
-            kvspec(-1), kvspec(0), kvspec(1),  # do blocks
-            pl.BlockSpec((1, 1, w), lambda i, j: (i // nh, 0, j)),  # kb @ jk
-            statspec(-1), statspec(0), statspec(1),  # m
-            statspec(-1), statspec(0), statspec(1),  # l
-            statspec(-1), statspec(0), statspec(1),  # delta
-        ],
-        out_specs=[
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
+            pltpu.VMEM((w, dh), jnp.float32),
+            pltpu.VMEM((w, dh), jnp.float32),
+            pltpu.VMEM((w, dh), jnp.float32),
         ],
         interpret=interpret,
     )(
-        kf, vf, qf, qf, qf, dof, dof, dof, kbf,
-        m, m, m, l, l, l, delta, delta, delta,
+        qf, qf, dof, dof, kf, kf, vf, vf, kbf, kbf,
+        m, m, l, l, delta, delta, kgf, vgf, gbf,
     )
 
     r4 = lambda x: x.reshape(b, nh, t, dh)  # noqa: E731

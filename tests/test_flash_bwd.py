@@ -4,7 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from retrieval_augmented_mds_tpu.ops.flash_sliding import _local_rows_xla
+from retrieval_augmented_mds_tpu.ops.flash_sliding import (
+    _local_rows_xla,
+    flash_sliding_attention,
+)
 from retrieval_augmented_mds_tpu.ops.flash_sliding_bwd import (
     flash_sliding_backward,
 )
@@ -37,8 +40,17 @@ def test_backward_kernels_match_autodiff():
     )
     rq, rk, rv, rkg, rvg = vjp(do)
 
+    # the production path: forward saves (m, l); delta = rowsum(do*out)
+    out, m, l = flash_sliding_attention(
+        q, k, v, key_bias, kg, vg, g_bias, window=w, interpret=True,
+        return_stats=True,
+    )
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(b * nh, 1, t)
     dq, dk, dv, dkg, dvg = flash_sliding_backward(
-        q, k, v, key_bias, kg, vg, g_bias, do, window=w, interpret=True
+        q, k, v, key_bias, kg, vg, g_bias, do, m, l, delta, window=w,
+        interpret=True,
     )
 
     for name, got, ref in [

@@ -157,17 +157,19 @@ def test_blocked_fwd_matches_oracle(causal, t, s):
     )
 
 
+@pytest.mark.parametrize("merged", [True, False])
 @pytest.mark.parametrize("causal,t,s", [
     (False, 32, 384),
     (True, 384, 384),
 ])
-def test_blocked_bwd_matches_oracle(causal, t, s):
+def test_blocked_bwd_matches_oracle(causal, t, s, merged):
     q, k, v, kb = _setup(t=t, s=s, pad=not causal)
     out, lse = flash_dense_blocked(q, k, v, kb, causal=causal,
                                    interpret=True)
     g = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
     dq, dk, dv = flash_dense_blocked_backward(
-        q, k, v, kb, out, lse, g, causal=causal, interpret=True
+        q, k, v, kb, out, lse, g, causal=causal, interpret=True,
+        merged=merged,
     )
     _, vjp = jax.vjp(lambda a, b_, c: _dense_xla(a, b_, c, kb, causal),
                      q, k, v)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from retrieval_augmented_mds_tpu.ops.flash_sliding import (
     _local_rows_xla,
@@ -13,9 +14,12 @@ from retrieval_augmented_mds_tpu.ops.flash_sliding_bwd import (
 )
 
 
-def test_backward_kernels_match_autodiff():
+# t=256 (nb=2) covers the edge blocks; t=512 (nb=4) adds interior
+# blocks where BOTH one-step carries of the merged kernel are live
+@pytest.mark.parametrize("t", [256, 512])
+def test_backward_kernels_match_autodiff(t):
     key = jax.random.PRNGKey(0)
-    b, nh, t, dh, w, g = 2, 2, 256, 32, 128, 3
+    b, nh, dh, w, g = 2, 2, 32, 128, 3
     ks = jax.random.split(key, 8)
     q = jax.random.normal(ks[0], (b, nh, t, dh))
     k = jax.random.normal(ks[1], (b, nh, t, dh))

@@ -421,7 +421,8 @@ def run_fit_baseline(cfg):
     init = init_bart if family == "bart" else init_t5
     params = init(jax.random.PRNGKey(cfg.seed), cfg.model.led)
     tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
-                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
+                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip,
+                         mu_dtype=cfg.train.adam_mu_dtype)
     state = TrainState.create(params, tx)
     step = make_seq2seq_train_step(
         family, cfg.model.led, tx, cfg.train.label_smoothing_eps
@@ -574,7 +575,8 @@ def run_pretrain_retriever(cfg):
 
     rcfg, params, pairs = _pretrain_setup(cfg)
     tx = build_optimizer(cfg.train.lr, cfg.train.warmup_steps,
-                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip)
+                         cfg.train.total_steps, grad_clip=cfg.train.grad_clip,
+                         mu_dtype=cfg.train.adam_mu_dtype)
     state = TrainState.create(params, tx)
     step_fn = make_retriever_train_step(rcfg, tx)
 

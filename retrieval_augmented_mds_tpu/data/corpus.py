@@ -27,7 +27,6 @@ import numpy as np
 import pandas as pd
 
 CITE_RE = re.compile(r"\@cite_\d+")
-MATH_RE = re.compile(r"\@math")
 
 
 def strip_cites(text: str) -> str:
@@ -152,22 +151,29 @@ def aggregate_by_aid(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def load_mips_arxiv(df: pd.DataFrame, column: str = "abstract") -> pd.DataFrame:
-    """arXiv abstracts corpus: `@math` substitution + dedup
-    (data_loaders.py:98-157)."""
-    out = df.copy()
-    out["mips_column"] = out[column].map(lambda t: MATH_RE.sub("math", t))
-    out = out.drop_duplicates("mips_column").reset_index(drop=True)
-    out["index"] = out["index"].apply(
-        lambda i: i if isinstance(i, list) else [i]
+def load_mips_arxiv(df: pd.DataFrame) -> pd.DataFrame:
+    """arXiv sentence-list corpus (reference `load_mips_arxiv`,
+    data_loaders.py:98-125): join each `abstract_text` sentence list,
+    strip the `<S>`/`</S>` tags, collapse whitespace; `article_id`
+    becomes the aid. No @math substitution and no dedup — those belong
+    to `load_mips_arxiv2` (:129-157), a different corpus format.
+
+    Returns the repo corpus schema: mips_column, index (EMPTY lists —
+    arXiv rows belong to no training example, so self-exclusion never
+    masks them), aid (article_id as a 1-element list)."""
+
+    def join_clean(sents) -> str:
+        text = " ".join(sents).replace("<S>", "").replace("</S>", "")
+        return re.sub(r"\s{2,}", " ", text).strip()
+
+    aid_col = "article_id" if "article_id" in df else "aid"
+    return pd.DataFrame(
+        {
+            "mips_column": df["abstract_text"].map(join_clean),
+            "index": [[] for _ in range(len(df))],
+            "aid": df[aid_col].map(lambda a: [str(a)]),
+        }
     )
-    if "aid" in out:
-        out["aid"] = out["aid"].apply(
-            lambda a: a if isinstance(a, list) else [a]
-        )
-    else:
-        out["aid"] = [[] for _ in range(len(out))]
-    return out[["mips_column", "index", "aid"]]
 
 
 # inline/display math → "@math" (reference clean_arxiv,
@@ -222,8 +228,19 @@ def load_mips_arxiv_x_science(
     `load_mips_arxiv_x_science`, data_loaders.py:160-191; arXiv rows
     first, matching the reference concat order). Multi-XScience rows keep
     their example-index lists (self-exclusion still applies to them);
-    arXiv rows carry empty lists."""
-    ax = load_mips_arxiv2(arxiv_source)
+    arXiv rows carry empty lists.
+
+    The reference composes `load_mips_arxiv` (sentence-list dataset with
+    `<S>` tags, :98-125) — used here when the source carries an
+    `abstract_text` column. Plain-`abstract` sources (e.g. the arxiv2
+    parquet) go through `load_mips_arxiv2`'s cleaning instead: a
+    DELIBERATE deviation for sources the reference loader cannot read,
+    not reference parity."""
+    if isinstance(arxiv_source, pd.DataFrame) and \
+            "abstract_text" in arxiv_source:
+        ax = load_mips_arxiv(arxiv_source)
+    else:
+        ax = load_mips_arxiv2(arxiv_source)
     mx = build_mips_corpus(multix_df, column)[["mips_column", "index", "aid"]]
     return pd.concat([ax, mx], ignore_index=True)
 

@@ -120,16 +120,20 @@ def native_batches(
         ]
     )
 
+    # create BEFORE returning the generator so a failure raises at call
+    # time, inside pipeline.batches' creation-only fallback guard — not
+    # on first next() mid-epoch
+    handle = lib.batch_loader_create(
+        field_ptrs, row_nbytes, len(arrs), n_rows,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(order),
+        batch_size, n_slots, slot_ptrs,
+    )
+    if not handle:
+        raise RuntimeError("batch_loader_create failed (bad arguments)")
+
     def _run():
         # `arrs`/`order`/`slots` are closed over, keeping every buffer the
         # C++ worker touches alive for the generator's lifetime.
-        handle = lib.batch_loader_create(
-            field_ptrs, row_nbytes, len(arrs), n_rows,
-            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(order),
-            batch_size, n_slots, slot_ptrs,
-        )
-        if not handle:
-            raise RuntimeError("batch_loader_create failed (bad arguments)")
         try:
             n_batches = lib.batch_loader_n_batches(handle)
             for _ in range(n_batches):

@@ -706,8 +706,12 @@ def _bwd(causal, res, g):
                 q, k, v, key_bias, out, lse, g, causal=causal
             )
             return dq, dk, dv, jnp.zeros_like(key_bias)
-    _, vjp = jax.vjp(lambda *a: _dense_xla(*a, causal), q, k, v, key_bias)
-    return vjp(g)
+    _, vjp = jax.vjp(lambda a, b_, c: _dense_xla(a, b_, c, key_bias, causal),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    # key_bias is a padding mask by contract (docstring): zero cotangent
+    # on EVERY path, so gradient semantics don't differ by backend/shape
+    return dq, dk, dv, jnp.zeros_like(key_bias)
 
 
 dense_rows.defvjp(_fwd, _bwd)

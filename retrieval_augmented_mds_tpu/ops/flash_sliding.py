@@ -290,10 +290,15 @@ def _bwd(window, res, g):
             jnp.zeros_like(g_bias),
         )
     _, vjp = jax.vjp(
-        lambda *a: _local_rows_xla(*a, window), q, k, v, key_bias, kg, vg,
-        g_bias,
+        lambda a, b_, c, d_, e: _local_rows_xla(
+            a, b_, c, key_bias, d_, e, g_bias, window
+        ),
+        q, k, v, kg, vg,
     )
-    return vjp(g)
+    dq, dk, dv, dkg, dvg = vjp(g)
+    # masks carry no gradient on ANY path (kernel parity of conventions)
+    return (dq, dk, dv, jnp.zeros_like(key_bias), dkg, dvg,
+            jnp.zeros_like(g_bias))
 
 
 sliding_local_rows.defvjp(_fwd, _bwd)

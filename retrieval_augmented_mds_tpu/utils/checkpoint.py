@@ -22,36 +22,54 @@ import jax
 import numpy as np
 
 
-def _flatten(tree) -> dict[str, np.ndarray]:
+_BF16_MARKER = "__bf16_keys__"
+
+
+def _flatten(tree) -> tuple[dict[str, np.ndarray], list[str]]:
     flat = {}
+    bf16_keys = []
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         arr = np.asarray(leaf)
         if arr.dtype == jax.numpy.bfloat16:
-            # npz has no bf16: store the raw bits; load_pytree views them
-            # back using the target leaf's dtype
+            # npz has no bf16: store the raw bits, and record which keys
+            # hold them so load_pytree can bit-view (never value-convert)
+            # regardless of the template leaf's dtype
             arr = arr.view(np.uint16)
+            bf16_keys.append(key)
         flat[key] = arr
-    return flat
+    return flat, bf16_keys
 
 
 def save_pytree(path: str, tree: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    flat = _flatten(tree)
-    np.savez(path, **flat)
+    flat, bf16_keys = _flatten(tree)
+    assert _BF16_MARKER not in flat
+    np.savez(path, **flat, **{_BF16_MARKER: np.array(bf16_keys)})
 
 
 def load_pytree(path: str, like: Any) -> Any:
-    """Restore into the structure of ``like`` (shapes must match)."""
+    """Restore into the structure of ``like`` (shapes must match; dtypes
+    may differ — e.g. resuming an adam_mu_dtype=bfloat16 checkpoint into
+    an all-f32 state — the stored value is converted, never bit-cast to
+    the wrong interpretation)."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
+    bf16_keys = (
+        set(data[_BF16_MARKER].tolist()) if _BF16_MARKER in data else None
+    )
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
-    flat_keys = list(_flatten(like).keys())
+    flat_keys = list(_flatten(like)[0].keys())
     assert len(flat_keys) == len(leaves_like)
     leaves = []
     for key, leaf in zip(flat_keys, leaves_like):
         arr = data[key]
         assert arr.shape == tuple(leaf.shape), (key, arr.shape, leaf.shape)
-        if leaf.dtype == jax.numpy.bfloat16 and arr.dtype == np.uint16:
+        if bf16_keys is not None:
+            if key in bf16_keys:
+                arr = arr.view(jax.numpy.bfloat16)
+        elif arr.dtype == np.uint16 and leaf.dtype != np.uint16:
+            # legacy checkpoint (no marker): uint16 here can only be
+            # bf16 bits — view them back before any dtype conversion
             arr = arr.view(jax.numpy.bfloat16)
         leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -132,13 +132,21 @@ def test_arxiv_corpus_to_store_arrays():
 
     df = pd.DataFrame(
         {
-            "abstract": ["alpha @math beta", "alpha @math beta", "gamma"],
-            "index": [0, 1, 2],
-            "aid": ["a0", "a1", "a2"],
+            "abstract_text": [
+                ["<S>alpha one.</S>", "<S>alpha  two.</S>"],
+                ["<S>gamma.</S>"],
+            ],
+            "article_id": ["a0", "a1"],
         }
     )
     corpus = load_mips_arxiv(df)
-    assert len(corpus) == 2  # dedup after @math substitution
+    # <S>/</S> stripped, sentences joined, whitespace collapsed
+    # (reference load_mips_arxiv, data_loaders.py:98-125)
+    assert corpus["mips_column"].tolist() == [
+        "alpha one. alpha two.", "gamma."
+    ]
+    assert corpus["aid"].tolist() == [["a0"], ["a1"]]
+    assert all(len(ix) == 0 for ix in corpus["index"])
     tok = HashTokenizer(128)
     arrays = prepare_memory_store_arrays(corpus, tok, memory_len=16)
     assert arrays["token_ids"].shape == (2, 16)

@@ -76,6 +76,31 @@ def test_checkpoint_roundtrip(tmp_path):
     assert files == ["step_9.npz"]
 
 
+def test_checkpoint_bf16_loads_into_other_dtypes(tmp_path):
+    """bf16 leaves are stored as raw bits; restoring into a template of a
+    DIFFERENT dtype (e.g. resuming an adam_mu_dtype=bfloat16 checkpoint
+    with the all-f32 reference-faithful config) must value-convert the
+    bf16 numbers, not reinterpret uint16 bit patterns."""
+    from retrieval_augmented_mds_tpu.utils.checkpoint import (
+        load_pytree,
+        save_pytree,
+    )
+
+    vals = jnp.asarray([0.5, -2.0, 3.25], jnp.bfloat16)
+    save_pytree(str(tmp_path / "m.npz"), {"mu": vals, "u16": jnp.arange(
+        3, dtype=jnp.uint16)})
+    back = load_pytree(
+        str(tmp_path / "m.npz"),
+        {"mu": jnp.zeros(3, jnp.float32), "u16": jnp.zeros(3, jnp.uint16)},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back["mu"]), np.asarray([0.5, -2.0, 3.25], np.float32)
+    )
+    assert back["mu"].dtype == jnp.float32
+    # a genuine uint16 leaf round-trips untouched
+    np.testing.assert_array_equal(np.asarray(back["u16"]), np.arange(3))
+
+
 def test_encoder_export_import(tmp_path):
     from retrieval_augmented_mds_tpu.utils.checkpoint import (
         export_encoders,

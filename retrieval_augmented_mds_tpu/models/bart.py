@@ -24,6 +24,7 @@ from .core import (
     ffn_init,
     layernorm,
     layernorm_init,
+    maybe_remat,
     mha_init,
 )
 
@@ -85,7 +86,7 @@ def bart_encode(params, cfg: Seq2SeqConfig, ids, padding_mask, *,
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["encoder"]:
         x = layer_fn(x, lp)
     return x
@@ -128,7 +129,7 @@ def bart_decode(params, cfg: Seq2SeqConfig, dec_ids, enc_hidden,
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x)), nc
 
     if remat and caches is None:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = maybe_remat(layer_fn, remat)
     for li, lp in enumerate(params["decoder"]):
         x, nc = layer_fn(x, lp, caches[li] if caches is not None else None)
         new_caches.append(nc)

@@ -62,6 +62,21 @@ def ffn_init(key, d_model: int, d_ffn: int) -> Params:
 # forward primitives
 # ---------------------------------------------------------------------------
 
+def maybe_remat(fn, remat):
+    """Per-layer gradient checkpointing (reference model_config.py:35
+    `gradient_checkpointing`). ``remat`` is False (off), True/"full"
+    (recompute everything), or the name of a `jax.checkpoint_policies`
+    entry — e.g. "dots_with_no_batch_dims_saveable" keeps matmul outputs
+    resident and recomputes only the cheap elementwise/attention
+    internals, an HBM/FLOPs middle ground for large batches."""
+    if not remat:
+        return fn
+    policy = None
+    if isinstance(remat, str) and remat != "full":
+        policy = getattr(jax.checkpoint_policies, remat)
+    return jax.checkpoint(fn, policy=policy)
+
+
 def dense(p: Params, x: jax.Array, dtype=None) -> jax.Array:
     dtype = dtype or x.dtype
     y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype),

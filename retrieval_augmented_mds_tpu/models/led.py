@@ -29,6 +29,7 @@ from .core import (
     layernorm,
     layernorm_init,
     make_cache,
+    maybe_remat,
     mha_init,
     precompute_cross_kv,
 )
@@ -122,7 +123,7 @@ def led_encode(
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["encoder"]:
         x = layer_fn(x, lp)
     return x
@@ -191,7 +192,7 @@ def led_decode(
         return x, new_cache
 
     if remat and caches is None:
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+        layer_fn = maybe_remat(layer_fn, remat)
     for li, lp in enumerate(params["decoder"]):
         cache = caches[li] if caches is not None else None
         x, nc = layer_fn(x, lp, cache)

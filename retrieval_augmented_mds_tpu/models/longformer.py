@@ -28,6 +28,7 @@ from .core import (
     ffn_init,
     layernorm,
     layernorm_init,
+    maybe_remat,
 )
 
 
@@ -127,7 +128,7 @@ def longformer_encode(
         return layernorm(lp["ffn_ln"], x + f)
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["layers"]:
         x = layer_fn(x, lp)
     return x

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from .config import Seq2SeqConfig
-from .core import NEG_INF, Params, _merge_heads, _split_heads, embedding_init
+from .core import (NEG_INF, Params, _merge_heads, _split_heads,
+                   embedding_init, maybe_remat)
 
 N_BUCKETS = 32
 MAX_DISTANCE = 128
@@ -158,7 +159,7 @@ def t5_encode(params, cfg: Seq2SeqConfig, ids, padding_mask, *,
         return x + f
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["encoder"]:
         x = layer_fn(x, lp)
     return rmsnorm(params["enc_final_ln"], x)

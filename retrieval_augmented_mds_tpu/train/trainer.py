@@ -68,7 +68,11 @@ class TrainHyper:
     accumulate_steps: int = 1
     mips_rebuild_every: int = 650  # no_mips.yaml:114
     frozen_groups: tuple[str, ...] = ()  # mips_freezed etc.
-    remat: bool = False  # gradient checkpointing (model_config.py:35)
+    # gradient checkpointing (model_config.py:35): False | True ("full")
+    # | a jax.checkpoint_policies name, e.g.
+    # "dots_with_no_batch_dims_saveable" (keep matmul outputs, recompute
+    # the rest — the HBM/FLOPs middle ground for large batches)
+    remat: bool | str = False
     # Adam first-moment storage dtype; None = f32 (reference-faithful).
     # Default bf16: the update is pure HBM bandwidth, see
     # train/optimizer.py build_optimizer.

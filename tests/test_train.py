@@ -44,6 +44,38 @@ def test_rag_train_step_decreases_loss():
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+def test_remat_modes_preserve_the_step():
+    """remat is value-preserving: False / True (full) / a
+    jax.checkpoint_policies name all produce the same loss and the same
+    updated params (it only changes what is recomputed in backward)."""
+    cfg = RAGConfig.tiny()
+    store = _store(cfg)
+    batch = _batch(cfg)
+
+    results = {}
+    for remat in (False, True, "dots_with_no_batch_dims_saveable"):
+        # re-init per mode: the train step donates `state`, deleting the
+        # param buffers it was created from
+        params = init_rag(jax.random.PRNGKey(3), cfg)
+        hyper = TrainHyper(lr=3e-3, warmup_steps=1, total_steps=100,
+                           remat=remat)
+        tx = build_optimizer(hyper.lr, hyper.warmup_steps,
+                             hyper.total_steps, grad_clip=hyper.grad_clip)
+        state = TrainState.create(params, tx)
+        step = make_train_step(cfg, tx, hyper)
+        state, metrics = step(state, store, batch, None)
+        results[remat] = (
+            float(metrics["loss"]),
+            np.asarray(jax.tree_util.tree_leaves(state.params["led"])[0]),
+        )
+    base_loss, base_leaf = results[False]
+    for remat in (True, "dots_with_no_batch_dims_saveable"):
+        loss, leaf = results[remat]
+        assert abs(loss - base_loss) < 1e-5, (remat, loss, base_loss)
+        np.testing.assert_allclose(leaf, base_leaf, rtol=1e-5, atol=1e-6,
+                                   err_msg=str(remat))
+
+
 def test_freeze_groups_hold_params_fixed():
     cfg = RAGConfig.tiny()
     params = init_rag(jax.random.PRNGKey(1), cfg)

@@ -112,9 +112,10 @@ def main():
     ap.add_argument("--enc16k", action="store_true",
                     help="also measure the 16k-token encoder forward")
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--remat", action="store_true",
-                    help="per-layer gradient checkpointing in the step "
-                    "(trade recompute flops for activation memory)")
+    ap.add_argument("--remat", nargs="?", const=True, default=False,
+                    help="per-layer gradient checkpointing in the step: "
+                    "bare flag = full remat, or a jax.checkpoint_policies "
+                    "name (e.g. dots_with_no_batch_dims_saveable)")
     ap.add_argument("--separate-mem", action="store_true",
                     help="memory_model_fixed=False: reference-faithful "
                     "separate memory encoder (two re-encodes per step) "

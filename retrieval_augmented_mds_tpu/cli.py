@@ -394,6 +394,88 @@ def run_predict(cfg):
     return out
 
 
+def run_export(cfg, out_dir: str):
+    """AOT-export the serving step — rag_encode (query encode → MIPS →
+    memory re-encode → rescore) + beam/copy generate — as a serialized
+    StableHLO artifact (`jax.export`). Production serving then needs no
+    Python model code: `jax.export.deserialize(blob).call(params, store,
+    batch)`; weights/corpus stay external inputs so checkpoint or index
+    refreshes don't re-export. Shapes freeze to the config's serving
+    shapes (src/query lengths, batch, beams, max_new_tokens).
+
+    Beyond the reference (which serves through Lightning predict_step +
+    live FAISS); the TPU-native serving story pairs this with the
+    exported-encoder / index persistence round trips."""
+    import jax
+    from jax import export as jexport
+
+    from .models.generate import generate
+    from .models.retriever_generator import init_rag_pretrained, rag_encode
+
+    dm, tok = build_data(cfg)
+    params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
+    if cfg.ckpt_dir and os.path.exists(
+        os.path.join(cfg.ckpt_dir, "latest.json")
+    ):
+        from .train.trainer import TrainState
+        from .utils.checkpoint import load_train_state
+
+        like = TrainState.create(params, build_tx(cfg, params))
+        state, _ = load_train_state(cfg.ckpt_dir, like)
+        params = state.params
+    store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
+    batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
+    dbatch = _device_batch(batch, cfg)
+    # fixed serving signature: the eval-batch keys only
+    dbatch = {
+        k: v for k, v in dbatch.items()
+        if k in ("input_ids", "attention_mask", "query_input_ids",
+                 "query_attention_mask")
+    }
+
+    if store is None:
+        def serve(params, batch):
+            enc = rag_encode(params, cfg.model, None, batch)
+            return generate(params, cfg.model, enc, cfg.generation)
+
+        fn_args = (params, dbatch)
+    else:
+        # the store is a custom pytree (registered dataclasses with
+        # static fields) that jax.export cannot serialize in the call
+        # signature — pass its array leaves as a plain tuple and rebuild
+        # from the (static) treedef inside the exported function
+        store_leaves, store_def = jax.tree_util.tree_flatten(store)
+
+        def serve(params, store_leaves, batch):
+            st = jax.tree_util.tree_unflatten(store_def, store_leaves)
+            enc = rag_encode(params, cfg.model, st, batch)
+            return generate(params, cfg.model, enc, cfg.generation)
+
+        fn_args = (params, tuple(store_leaves), dbatch)
+
+    avals = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(tuple(x.shape), x.dtype), fn_args
+    )
+    exp = jexport.export(jax.jit(serve))(*avals)
+    os.makedirs(out_dir, exist_ok=True)
+    blob_path = os.path.join(out_dir, "serve_step.jaxexport")
+    with open(blob_path, "wb") as f:
+        f.write(exp.serialize())
+    manifest = {
+        "artifact": blob_path,
+        "bytes": os.path.getsize(blob_path),
+        "platforms": list(exp.platforms),
+        "args": "(params, tree_flatten(store)[0] as tuple, batch)"
+        if store is not None else "(params, batch)",
+        "batch_shapes": {k: list(v.shape) for k, v in dbatch.items()},
+        "num_beams": cfg.generation.num_beams,
+        "max_new_tokens": cfg.generation.max_new_tokens,
+    }
+    with open(os.path.join(out_dir, "serve_step.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def run_fit_baseline(cfg):
     """Parametric-only baseline fine-tune (reference BartLightning /
     T5Lightning via main.py fit; sotasum/bart_lightning.py:48-244,
@@ -766,7 +848,7 @@ def main(argv=None):
         "command",
         choices=[
             "fit", "validate", "test", "predict", "pretrain-retriever",
-            "build-index", "bench-index",
+            "build-index", "bench-index", "export",
         ],
     )
     p.add_argument("--config", default=None)
@@ -825,6 +907,8 @@ def main(argv=None):
         )
     elif args.command == "build-index":
         out = run_build_index(cfg, args.out)
+    elif args.command == "export":
+        out = run_export(cfg, args.out)
     else:
         out = run_bench_index(cfg)
     print(json.dumps(out, default=str)[:2000])

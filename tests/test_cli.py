@@ -53,6 +53,50 @@ def test_predict_smoke(tmp_path):
     assert all(isinstance(s, str) for s in out["predictions"])
 
 
+def test_export_serving_step_roundtrip(tmp_path):
+    """`export` serializes the full serving step (rag_encode + generate)
+    via jax.export; the deserialized artifact must reproduce the live
+    path's token ids without any model code."""
+    import jax
+    from jax import export as jexport
+
+    from retrieval_augmented_mds_tpu.cli import (
+        _device_batch,
+        build_data,
+        build_store,
+        run_export,
+    )
+    from retrieval_augmented_mds_tpu.models.generate import generate
+    from retrieval_augmented_mds_tpu.models.retriever_generator import (
+        init_rag_pretrained,
+        rag_encode,
+    )
+
+    cfg = _cfg(CFG, tmp_path)
+    out = run_export(cfg, str(tmp_path / "export"))
+    assert os.path.exists(out["artifact"]) and out["bytes"] > 0
+
+    blob = open(out["artifact"], "rb").read()
+    exp = jexport.deserialize(blob)
+
+    dm, _tok = build_data(cfg)
+    params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
+    store = build_store(params, cfg, dm)
+    batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
+    dbatch = {
+        k: v for k, v in _device_batch(batch, cfg).items()
+        if k in ("input_ids", "attention_mask", "query_input_ids",
+                 "query_attention_mask")
+    }
+    store_leaves = tuple(jax.tree_util.tree_flatten(store)[0])
+    got = exp.call(params, store_leaves, dbatch)
+    enc = rag_encode(params, cfg.model, store, dbatch)
+    want = generate(params, cfg.model, enc, cfg.generation)
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_pretrain_retriever_smoke(tmp_path):
     cfg = _cfg(CFG, tmp_path, max_steps=2, ckpt_dir=str(tmp_path / "ck"))
     out = run_pretrain_retriever(cfg)

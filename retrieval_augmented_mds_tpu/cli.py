@@ -253,9 +253,17 @@ def run_fit(cfg) -> dict[str, Any]:
                     if cfg.model.memory_forcing == "target_in"
                     else None
                 )
+                t0 = time.perf_counter()
                 state, metrics = step_fn(
                     state, store, dbatch,
                     None if force is None else bool(force),
+                )
+                float(metrics["loss"])  # fence: includes device time,
+                # not just the async dispatch (+1 RTT on a tunnel)
+                sec = time.perf_counter() - t0
+                metrics["steps_per_s"] = 1.0 / max(sec, 1e-9)
+                metrics["tokens_per_s"] = (
+                    dbatch["input_ids"].size / max(sec, 1e-9)
                 )
                 log.log(step, metrics)
                 step += 1

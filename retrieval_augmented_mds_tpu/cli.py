@@ -383,13 +383,16 @@ def run_predict(cfg):
     from .models.generate import copy_trace, generate
     from .models.retriever_generator import init_rag_pretrained, rag_encode
 
+    import jax.numpy as jnp
+
     dm, tok = build_data(cfg)
     params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
     store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
     batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
     dbatch = _device_batch(batch, cfg)
-    enc = rag_encode(params, cfg.model, store, dbatch)
-    ids = generate(params, cfg.model, enc, cfg.generation)
+    dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
+    enc = rag_encode(params, cfg.model, store, dbatch, dtype=dtype)
+    ids = generate(params, cfg.model, enc, cfg.generation, dtype=dtype)
     out = {"predictions": tok.batch_decode(np.asarray(ids))}
     if cfg.generation.output_copy_probs and store is not None:
         tr = copy_trace(
@@ -433,18 +436,22 @@ def run_export(cfg, out_dir: str):
         params = state.params
     store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
     batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
-    dbatch = _device_batch(batch, cfg)
-    # fixed serving signature: the eval-batch keys only
+    # serving signature = exactly the predict path's batch minus the
+    # train-only labels: optional memory keys (input_memory_*,
+    # target_memory_*, mips_ignore) stay, so dual/source-memory and
+    # forcing configs export the same behavior predict serves
     dbatch = {
-        k: v for k, v in dbatch.items()
-        if k in ("input_ids", "attention_mask", "query_input_ids",
-                 "query_attention_mask")
+        k: v for k, v in _device_batch(batch, cfg).items() if k != "labels"
     }
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
 
     if store is None:
         def serve(params, batch):
-            enc = rag_encode(params, cfg.model, None, batch)
-            return generate(params, cfg.model, enc, cfg.generation)
+            enc = rag_encode(params, cfg.model, None, batch, dtype=dtype)
+            return generate(params, cfg.model, enc, cfg.generation,
+                            dtype=dtype)
 
         fn_args = (params, dbatch)
     else:
@@ -456,8 +463,9 @@ def run_export(cfg, out_dir: str):
 
         def serve(params, store_leaves, batch):
             st = jax.tree_util.tree_unflatten(store_def, store_leaves)
-            enc = rag_encode(params, cfg.model, st, batch)
-            return generate(params, cfg.model, enc, cfg.generation)
+            enc = rag_encode(params, cfg.model, st, batch, dtype=dtype)
+            return generate(params, cfg.model, enc, cfg.generation,
+                            dtype=dtype)
 
         fn_args = (params, tuple(store_leaves), dbatch)
 
@@ -476,6 +484,7 @@ def run_export(cfg, out_dir: str):
         "args": "(params, tree_flatten(store)[0] as tuple, batch)"
         if store is not None else "(params, batch)",
         "batch_shapes": {k: list(v.shape) for k, v in dbatch.items()},
+        "compute_dtype": cfg.precision,
         "num_beams": cfg.generation.num_beams,
         "max_new_tokens": cfg.generation.max_new_tokens,
     }

@@ -167,11 +167,16 @@ def load_mips_arxiv(df: pd.DataFrame) -> pd.DataFrame:
         return re.sub(r"\s{2,}", " ", text).strip()
 
     aid_col = "article_id" if "article_id" in df else "aid"
+    aids = (
+        df[aid_col].map(lambda a: [str(a)])
+        if aid_col in df
+        else [[] for _ in range(len(df))]
+    )
     return pd.DataFrame(
         {
             "mips_column": df["abstract_text"].map(join_clean),
             "index": [[] for _ in range(len(df))],
-            "aid": df[aid_col].map(lambda a: [str(a)]),
+            "aid": aids,
         }
     )
 

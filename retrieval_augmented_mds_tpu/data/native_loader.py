@@ -17,6 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -131,6 +132,15 @@ def native_batches(
     if not handle:
         raise RuntimeError("batch_loader_create failed (bad arguments)")
 
+    destroyed = []
+
+    def _destroy():
+        # once-guard: reached via the generator's finally AND the
+        # finalizer below
+        if not destroyed:
+            destroyed.append(True)
+            lib.batch_loader_destroy(handle)  # joins the worker thread
+
     def _run():
         # `arrs`/`order`/`slots` are closed over, keeping every buffer the
         # C++ worker touches alive for the generator's lifetime.
@@ -144,6 +154,16 @@ def native_batches(
                 lib.batch_loader_release(handle, slot)
                 yield batch
         finally:
-            lib.batch_loader_destroy(handle)
+            _destroy()
 
-    return _run()
+    gen = _run()
+    # the worker starts at create: if the caller drops the generator
+    # without ever starting it, its finally never runs — the finalizer
+    # destroys (join) first and only then releases the buffer refs it
+    # pins (the callback holds them until it fires)
+    weakref.finalize(
+        gen,
+        lambda _pin=(arrs, order, slots, field_ptrs, row_nbytes,
+                     slot_ptrs): _destroy(),
+    )
+    return gen

@@ -85,8 +85,7 @@ def bart_encode(params, cfg: Seq2SeqConfig, ids, padding_mask, *,
         x = layernorm(lp["attn_ln"], x + a)
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
 
-    if remat:
-        layer_fn = maybe_remat(layer_fn, remat)
+    layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["encoder"]:
         x = layer_fn(x, lp)
     return x
@@ -128,7 +127,7 @@ def bart_decode(params, cfg: Seq2SeqConfig, dec_ids, enc_hidden,
         x = layernorm(lp["cross_ln"], x + c)
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x)), nc
 
-    if remat and caches is None:
+    if caches is None:  # maybe_remat no-ops on falsy remat
         layer_fn = maybe_remat(layer_fn, remat)
     for li, lp in enumerate(params["decoder"]):
         x, nc = layer_fn(x, lp, caches[li] if caches is not None else None)

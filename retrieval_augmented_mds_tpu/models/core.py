@@ -73,7 +73,14 @@ def maybe_remat(fn, remat):
         return fn
     policy = None
     if isinstance(remat, str) and remat != "full":
-        policy = getattr(jax.checkpoint_policies, remat)
+        policy = getattr(jax.checkpoint_policies, remat, None)
+        if policy is None:
+            valid = [n for n in dir(jax.checkpoint_policies)
+                     if not n.startswith("_")]
+            raise ValueError(
+                f"train.remat={remat!r} is not a jax.checkpoint_policies "
+                f"name (or true/'full'); choices: {valid}"
+            )
     return jax.checkpoint(fn, policy=policy)
 
 

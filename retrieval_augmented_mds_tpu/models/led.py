@@ -81,7 +81,7 @@ def led_encode(
     global_mask: jax.Array | None = None,
     *,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     seq_mesh=None,  # sequence parallelism over the mesh "shard" axis
 ) -> jax.Array:
     """16k-token LED encoder; with ``seq_mesh`` the sequence dimension is
@@ -122,8 +122,7 @@ def led_encode(
         x = layernorm(lp["attn_ln"], x + a)
         return layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
 
-    if remat:
-        layer_fn = maybe_remat(layer_fn, remat)
+    layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["encoder"]:
         x = layer_fn(x, lp)
     return x
@@ -139,7 +138,7 @@ def led_decode(
     caches: list[Params] | None = None,  # per-layer self-attn caches
     pos_offset=0,  # decode position of dec_ids[:, 0]
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
 ):
     """Returns (hidden [B, T, H], new_caches).
 
@@ -191,7 +190,7 @@ def led_decode(
         x = layernorm(lp["ffn_ln"], x + ffn(lp["ffn"], x))
         return x, new_cache
 
-    if remat and caches is None:
+    if caches is None:  # maybe_remat no-ops on falsy remat
         layer_fn = maybe_remat(layer_fn, remat)
     for li, lp in enumerate(params["decoder"]):
         cache = caches[li] if caches is not None else None

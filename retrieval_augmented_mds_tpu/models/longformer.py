@@ -71,7 +71,7 @@ def longformer_encode(
     global_mask: jax.Array | None = None,  # [B, T]; default: CLS only
     *,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     seq_mesh=None,  # sequence parallelism: shard T over mesh "shard" axis
 ) -> jax.Array:
     """Returns hidden states [B, T, H]. CLS pooling = out[:, 0].
@@ -127,8 +127,7 @@ def longformer_encode(
                           jax.nn.relu(dense(lp["adapter"]["down"], f)))
         return layernorm(lp["ffn_ln"], x + f)
 
-    if remat:
-        layer_fn = maybe_remat(layer_fn, remat)
+    layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["layers"]:
         x = layer_fn(x, lp)
     return x

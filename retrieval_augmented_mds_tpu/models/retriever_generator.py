@@ -257,7 +257,7 @@ def rag_encode(
     *,
     mesh=None,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     copy_force: jax.Array | None = None,  # [] bool: target_in coin flip
 ) -> RAGEncoderOutput:
     """The "R" of RAG + the main document encoder.
@@ -441,7 +441,7 @@ def rag_decode(
     caches=None,
     pos_offset=0,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     copy_kv=None,  # per-layer precomputed copy-head memory K/V
 ):
     """Decoder + copy head → (log_probs_or_logits [B, T, V], aux, caches).
@@ -488,7 +488,7 @@ def rag_forward(
     *,
     mesh=None,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     copy_force: jax.Array | None = None,
 ):
     """Full teacher-forced forward (reference LongformerLightning.forward,

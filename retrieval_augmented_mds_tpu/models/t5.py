@@ -158,8 +158,7 @@ def t5_encode(params, cfg: Seq2SeqConfig, ids, padding_mask, *,
         f = _linear(lp["ffn"]["wo"], jax.nn.relu(_linear(lp["ffn"]["wi"], xn)))
         return x + f
 
-    if remat:
-        layer_fn = maybe_remat(layer_fn, remat)
+    layer_fn = maybe_remat(layer_fn, remat)
     for lp in params["encoder"]:
         x = layer_fn(x, lp)
     return rmsnorm(params["enc_final_ln"], x)

@@ -93,7 +93,7 @@ def retriever_forward(
     batch: dict[str, Any],
     *,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
 ):
     """Returns (query_cls [B, P], mips_cls [B, P])."""
     qh = longformer_encode(
@@ -118,7 +118,7 @@ def contrastive_loss(
     batch: dict[str, Any],
     *,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
     gather_axis: str | None = None,  # DATA_AXIS for global in-batch negatives
 ):
     """InfoNCE + optional BOW. Returns (loss, metrics dict)."""

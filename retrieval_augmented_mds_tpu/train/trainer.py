@@ -86,7 +86,7 @@ def make_train_step(
     *,
     mesh=None,
     dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> Callable:
     """Returns jitted (state, store, batch, copy_force) → (state, metrics)."""
 

@@ -67,9 +67,10 @@ def load_pytree(path: str, like: Any) -> Any:
         if bf16_keys is not None:
             if key in bf16_keys:
                 arr = arr.view(jax.numpy.bfloat16)
-        elif arr.dtype == np.uint16 and leaf.dtype != np.uint16:
-            # legacy checkpoint (no marker): uint16 here can only be
-            # bf16 bits — view them back before any dtype conversion
+        elif arr.dtype == np.uint16 and leaf.dtype == jax.numpy.bfloat16:
+            # legacy checkpoint (no marker): can't tell bf16 bits from a
+            # genuine uint16 leaf, so only bit-view when the template
+            # says bf16 (the pre-marker behavior)
             arr = arr.view(jax.numpy.bfloat16)
         leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -84,9 +84,7 @@ def test_export_serving_step_roundtrip(tmp_path):
     store = build_store(params, cfg, dm)
     batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
     dbatch = {
-        k: v for k, v in _device_batch(batch, cfg).items()
-        if k in ("input_ids", "attention_mask", "query_input_ids",
-                 "query_attention_mask")
+        k: v for k, v in _device_batch(batch, cfg).items() if k != "labels"
     }
     store_leaves = tuple(jax.tree_util.tree_flatten(store)[0])
     got = exp.call(params, store_leaves, dbatch)

@@ -26,6 +26,22 @@ NEG_INF = -1e9
 G_PAD = 128  # global-column lanes (max_globals <= 128)
 
 
+def block_for(window: int) -> int:
+    """Kernel tile size for a band half-width: the smallest 128-lane
+    multiple >= window. The tile carries the lane-alignment requirement;
+    the band mask keeps the attention reach at ±window, so sub-128
+    windows (tiny test configs) run fused too."""
+    return max(128, ((window + 127) // 128) * 128)
+
+
+def kernel_eligible(t: int, window: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and t % block_for(window) == 0
+        and not _force_xla()
+    )
+
+
 def _force_xla() -> bool:
     """RAMDS_FORCE_XLA_OPS=1 routes attention through the XLA composite
     even on TPU. Two uses: A/B debugging against the correctness oracle,
@@ -36,28 +52,29 @@ def _force_xla() -> bool:
 
 
 def _kernel(
-    q_ref,  # [1, w, dh]
-    kp_ref, kc_ref, kn_ref,  # [1, w, dh] key blocks j-1, j, j+1 (clamped)
-    vp_ref, vc_ref, vn_ref,  # [1, w, dh]
-    kb_p_ref, kb_c_ref, kb_n_ref,  # [1, 1, w] additive key bias (0 / -inf)
+    q_ref,  # [1, blk, dh]
+    kp_ref, kc_ref, kn_ref,  # [1, blk, dh] key blocks j-1, j, j+1 (clamped)
+    vp_ref, vc_ref, vn_ref,  # [1, blk, dh]
+    kb_p_ref, kb_c_ref, kb_n_ref,  # [1, 1, blk] additive key bias (0/-inf)
     kg_ref,  # [1, G_PAD, dh] global-token keys (regular k, gathered)
     vg_ref,  # [1, G_PAD, dh]
     gb_ref,  # [1, 1, G_PAD] additive global-column bias (0 / -inf)
-    out_ref,  # [1, w, dh]
-    m_ref,  # [1, 1, w] softmax running max (saved for the fused bwd)
-    l_ref,  # [1, 1, w] softmax denominator
+    out_ref,  # [1, blk, dh]
+    m_ref,  # [1, 1, blk] softmax running max (saved for the fused bwd)
+    l_ref,  # [1, 1, blk] softmax denominator
     *,
-    w: int,
+    w: int,  # band half-width (the attention window)
+    blk: int,  # block size: the 128-lane-aligned tile, >= w
     n_blocks: int,
     dh: int,
 ):
     j = pl.program_id(1)
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-    q = q_ref[0].astype(jnp.float32) * scale  # [w, dh]
+    q = q_ref[0].astype(jnp.float32) * scale  # [blk, dh]
 
-    q_pos = j * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    q_pos = j * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
 
-    m = jnp.full((w, 1), NEG_INF, jnp.float32)
+    m = jnp.full((blk, 1), NEG_INF, jnp.float32)
     parts = []
     for t, (k_ref, kb_ref) in enumerate(
         [(kp_ref, kb_p_ref), (kc_ref, kb_c_ref), (kn_ref, kb_n_ref)]
@@ -66,13 +83,15 @@ def _kernel(
             q, k_ref[0].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [w, w]
-        blk = j + t - 1
-        k_pos = blk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        )  # [blk, blk]
+        nbr = j + t - 1
+        k_pos = nbr * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (blk, blk), 1
+        )
         ok = (
             (jnp.abs(k_pos - q_pos) <= w)
             & (k_pos >= 0)
-            & (k_pos < n_blocks * w)
+            & (k_pos < n_blocks * blk)
         )
         s = jnp.where(ok, s + kb_ref[0, 0][None, :], NEG_INF)
         parts.append(s)
@@ -85,8 +104,8 @@ def _kernel(
     ) + gb_ref[0, 0][None, :]  # [w, G_PAD]
     m = jnp.maximum(m, jnp.max(sg, axis=-1, keepdims=True))
 
-    acc = jnp.zeros((w, dh), jnp.float32)
-    denom = jnp.zeros((w, 1), jnp.float32)
+    acc = jnp.zeros((blk, dh), jnp.float32)
+    denom = jnp.zeros((blk, 1), jnp.float32)
     for t, v_ref in enumerate([vp_ref, vc_ref, vn_ref]):
         p = jnp.exp(parts[t] - m)
         denom = denom + jnp.sum(p, axis=-1, keepdims=True)
@@ -129,8 +148,9 @@ def flash_sliding_attention(
         interpret = jax.default_backend() != "tpu"
     b, nh, t, dh = q.shape
     w = window
-    assert t % w == 0
-    nb = t // w
+    blk = block_for(w)  # 128-lane-aligned tile; band reach stays ±w
+    assert t % blk == 0
+    nb = t // blk
     g = kg.shape[2]
     bh = b * nh
 
@@ -144,21 +164,21 @@ def flash_sliding_attention(
     gbf = jnp.full((b, 1, G_PAD), NEG_INF, jnp.float32)
     gbf = gbf.at[:, 0, :g].set(g_bias.astype(jnp.float32))
 
-    def blk(j, d):  # clamped neighbor block index
+    def nbr(j, d):  # clamped neighbor block index
         return jnp.clip(j + d, 0, nb - 1)
 
     kspec = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, w, dh), lambda i, j, d=d: (i, blk(j, d), 0)
+        (1, blk, dh), lambda i, j, d=d: (i, nbr(j, d), 0)
     )
     kbspec = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, 1, w), lambda i, j, d=d: (i // nh, 0, blk(j, d))
+        (1, 1, blk), lambda i, j, d=d: (i // nh, 0, nbr(j, d))
     )
 
     out, m, l = pl.pallas_call(
-        functools.partial(_kernel, w=w, n_blocks=nb, dh=dh),
+        functools.partial(_kernel, w=w, blk=blk, n_blocks=nb, dh=dh),
         grid=(bh, nb),
         in_specs=[
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, blk, dh), lambda i, j: (i, j, 0)),
             kspec(-1), kspec(0), kspec(1),
             kspec(-1), kspec(0), kspec(1),
             kbspec(-1), kbspec(0), kbspec(1),
@@ -167,9 +187,9 @@ def flash_sliding_attention(
             pl.BlockSpec((1, 1, G_PAD), lambda i, j: (i // nh, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, w), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, blk, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, blk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, blk), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
@@ -245,13 +265,10 @@ def _local_rows_xla(q, k, v, key_bias, kg, vg, g_bias, window):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, window):
-    """Local-query rows; Pallas forward on TPU, XLA recompute backward.
-
-    The kernel needs window % 128 == 0 (bias lane tiling); production
-    windows (LED 512, Longformer 256) qualify — tiny test configs fall
-    back to the XLA composite."""
-    if (jax.default_backend() == "tpu" and window % 128 == 0
-            and not _force_xla()):
+    """Local-query rows; Pallas kernels on TPU (any window: the tile is
+    lane-aligned by block_for, the band mask keeps the ±window reach),
+    XLA composite elsewhere and whenever T doesn't tile."""
+    if kernel_eligible(q.shape[2], window):
         return flash_sliding_attention(
             q, k, v, key_bias, kg, vg, g_bias, window=window
         )
@@ -259,8 +276,7 @@ def sliding_local_rows(q, k, v, key_bias, kg, vg, g_bias, window):
 
 
 def _fwd(q, k, v, key_bias, kg, vg, g_bias, window):
-    if (jax.default_backend() == "tpu" and window % 128 == 0
-            and not _force_xla()):
+    if kernel_eligible(q.shape[2], window):
         out, m, l = flash_sliding_attention(
             q, k, v, key_bias, kg, vg, g_bias, window=window,
             return_stats=True,

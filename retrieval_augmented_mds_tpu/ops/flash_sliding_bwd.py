@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_sliding import G_PAD, NEG_INF
+from .flash_sliding import G_PAD, NEG_INF, block_for
 
 
 def _bwd_kernel(
@@ -56,7 +56,8 @@ def _bwd_kernel(
     dkg_ref, dvg_ref,  # out [1, G_PAD, dh] f32, accumulated across j
     dq_carry, dk_carry, dv_carry,  # scratch [w, dh] f32
     *,
-    w: int,
+    w: int,  # band half-width (attention reach)
+    blk: int,  # 128-lane-aligned tile size, >= w
     n_blocks: int,
     dh: int,
 ):
@@ -99,13 +100,17 @@ def _bwd_kernel(
         s = jax.lax.dot_general(
             q_s, kmat, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [w, w]
-        q_pos = qblk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-        k_pos = kblk * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        )  # [blk, blk]
+        q_pos = qblk * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (blk, blk), 0
+        )
+        k_pos = kblk * blk + jax.lax.broadcasted_iota(
+            jnp.int32, (blk, blk), 1
+        )
         ok = (
             (jnp.abs(k_pos - q_pos) <= w)
-            & (k_pos >= 0) & (k_pos < n_blocks * w)
-            & (q_pos >= 0) & (q_pos < n_blocks * w)
+            & (k_pos >= 0) & (k_pos < n_blocks * blk)
+            & (q_pos >= 0) & (q_pos < n_blocks * blk)
         )
         s = jnp.where(ok, s + kb[None, :], NEG_INF)
         p = (jnp.exp(s - m_a) / l_a) * gate
@@ -194,7 +199,9 @@ def flash_sliding_backward(
         interpret = jax.default_backend() != "tpu"
     b, nh, t, dh = q.shape
     w = window
-    nb = t // w
+    blk = block_for(w)
+    assert t % blk == 0
+    nb = t // blk
     g = kg.shape[2]
     bh = b * nh
 
@@ -210,22 +217,22 @@ def flash_sliding_backward(
     gbf = gbf.at[:, 0, :g].set(g_bias.astype(jnp.float32))
     kbf = key_bias.astype(jnp.float32)[:, None, :]
 
-    def blk(j, d):
+    def nbr(j, d):
         return jnp.clip(j + d, 0, nb - 1)
 
     kvspec = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, w, dh), lambda i, j, d=d: (i, blk(j, d), 0)
+        (1, blk, dh), lambda i, j, d=d: (i, nbr(j, d), 0)
     )
     kbspec = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, 1, w), lambda i, j, d=d: (i // nh, 0, blk(j, d))
+        (1, 1, blk), lambda i, j, d=d: (i // nh, 0, nbr(j, d))
     )
     statspec = lambda d: pl.BlockSpec(  # noqa: E731
-        (1, 1, w), lambda i, j, d=d: (i, 0, blk(j, d))
+        (1, 1, blk), lambda i, j, d=d: (i, 0, nbr(j, d))
     )
     gspec = pl.BlockSpec((1, G_PAD, dh), lambda i, j: (i, 0, 0))
 
     dq, dk, dv, dkg, dvg = pl.pallas_call(
-        functools.partial(_bwd_kernel, w=w, n_blocks=nb, dh=dh),
+        functools.partial(_bwd_kernel, w=w, blk=blk, n_blocks=nb, dh=dh),
         grid=(bh, nb),
         in_specs=[
             kvspec(0), kvspec(1),  # q
@@ -240,9 +247,9 @@ def flash_sliding_backward(
             pl.BlockSpec((1, 1, G_PAD), lambda i, j: (i // nh, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, w, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, blk, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, blk, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, blk, dh), lambda i, j: (i, j, 0)),
             gspec, gspec,
         ],
         out_shape=[
@@ -253,9 +260,9 @@ def flash_sliding_backward(
             jax.ShapeDtypeStruct((bh, G_PAD, dh), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w, dh), jnp.float32),
-            pltpu.VMEM((w, dh), jnp.float32),
-            pltpu.VMEM((w, dh), jnp.float32),
+            pltpu.VMEM((blk, dh), jnp.float32),
+            pltpu.VMEM((blk, dh), jnp.float32),
+            pltpu.VMEM((blk, dh), jnp.float32),
         ],
         interpret=interpret,
     )(

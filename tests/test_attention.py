@@ -153,7 +153,8 @@ def test_flash_kernel_matches_xla_composite():
     )
 
     key = jax.random.PRNGKey(3)
-    b, nh, t, dh, w, g = 2, 2, 192, 32, 64, 4
+    # w=64 rides the 128-lane tile (block_for); t must tile by 128
+    b, nh, t, dh, w, g = 2, 2, 256, 32, 64, 4
     ks = jax.random.split(key, 7)
     q = jax.random.normal(ks[0], (b, nh, t, dh))
     k = jax.random.normal(ks[1], (b, nh, t, dh))

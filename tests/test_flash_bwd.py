@@ -15,11 +15,13 @@ from retrieval_augmented_mds_tpu.ops.flash_sliding_bwd import (
 
 
 # t=256 (nb=2) covers the edge blocks; t=512 (nb=4) adds interior
-# blocks where BOTH one-step carries of the merged kernel are live
-@pytest.mark.parametrize("t", [256, 512])
-def test_backward_kernels_match_autodiff(t):
+# blocks where BOTH one-step carries of the merged kernel are live;
+# w=64 exercises a sub-128 window riding a 128-lane tile (block_for)
+@pytest.mark.parametrize("t,w", [(256, 128), (512, 128), (256, 64),
+                                 (768, 192)])
+def test_backward_kernels_match_autodiff(t, w):
     key = jax.random.PRNGKey(0)
-    b, nh, dh, w, g = 2, 2, 32, 128, 3
+    b, nh, dh, g = 2, 2, 32, 3
     ks = jax.random.split(key, 8)
     q = jax.random.normal(ks[0], (b, nh, t, dh))
     k = jax.random.normal(ks[1], (b, nh, t, dh))

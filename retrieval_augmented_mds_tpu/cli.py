@@ -178,6 +178,7 @@ def build_tx(cfg, params):
         frozen_groups=frozen, params=params,
         accumulate_steps=cfg.train.accumulate_steps,
         mu_dtype=cfg.train.adam_mu_dtype,
+        state_8bit=cfg.train.adam_8bit,
     )
 
 

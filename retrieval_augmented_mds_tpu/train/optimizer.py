@@ -58,6 +58,7 @@ def build_optimizer(
     params=None,
     accumulate_steps: int = 1,  # reference accumulate_grad_batches
     mu_dtype: str | None = "bfloat16",
+    state_8bit: bool = False,
 ):
     """Returns an optax GradientTransformation.
 
@@ -67,17 +68,27 @@ def build_optimizer(
     train_phase_breakdown.json), and m is a smoothed gradient whose low
     bits are noise. The second moment stays f32 (it sits under a sqrt —
     bf16's 8 mantissa bits there would distort step sizes). Pass None
-    for the reference-faithful all-f32 state."""
+    for the reference-faithful all-f32 state.
+
+    ``state_8bit`` swaps adamw for the blockwise-quantized 8-bit variant
+    (train/adam8bit.py): int8 mu + log2-affine uint8 nu, per-128 f32
+    scales — ~33% less optimizer HBM traffic and ~6 B/param of capacity
+    freed. Overrides ``mu_dtype``."""
     import jax.numpy as jnp
 
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.adamw(
-        sched, weight_decay=weight_decay,
-        mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
-    ))
+    if state_8bit:
+        from .adam8bit import adamw8bit
+
+        chain.append(adamw8bit(sched, weight_decay=weight_decay))
+    else:
+        chain.append(optax.adamw(
+            sched, weight_decay=weight_decay,
+            mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
+        ))
     tx = optax.chain(*chain)
     frozen = set(frozen_groups)
     if frozen:

@@ -77,6 +77,12 @@ class TrainHyper:
     # Default bf16: the update is pure HBM bandwidth, see
     # train/optimizer.py build_optimizer.
     adam_mu_dtype: str | None = "bfloat16"
+    # Blockwise 8-bit Adam state (train/adam8bit.py): int8 mu +
+    # log2-affine uint8 nu. ~33% less optimizer HBM traffic, ~1.6 GB of
+    # state capacity freed on the 268M-param RAG model. Overrides
+    # adam_mu_dtype. The TPU-native stand-in for the reference's
+    # DeepSpeed ZeRO CPU offload (lightning_model.py:16).
+    adam_8bit: bool = False
 
 
 def make_train_step(

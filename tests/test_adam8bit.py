@@ -1,0 +1,187 @@
+"""Blockwise 8-bit AdamW (train/adam8bit.py): quantizer error bounds,
+optimizer-trajectory parity with optax.adamw, integration with the
+freeze/accumulation chain, ZeRO sharding specs, and checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from retrieval_augmented_mds_tpu.train.adam8bit import (
+    BLOCK,
+    _valid_mask,
+    adamw8bit,
+    dequantize_mu,
+    dequantize_nu,
+    quantize_mu,
+    quantize_nu,
+)
+from retrieval_augmented_mds_tpu.train.optimizer import build_optimizer
+
+
+def _blocks(x):
+    flat = np.asarray(x, np.float32).reshape(-1)
+    nb = -(-flat.size // BLOCK)
+    out = np.zeros((nb, BLOCK), np.float32)
+    out.reshape(-1)[: flat.size] = flat
+    return jnp.asarray(out), flat.size
+
+
+def test_mu_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1000).astype(np.float32) * 0.01
+    xb, n = _blocks(x)
+    mask = _valid_mask(n)
+    q, s = quantize_mu(xb, mask)
+    back = np.asarray(dequantize_mu(q, s)).reshape(-1)[:n]
+    absmax_per_block = np.max(
+        np.abs(np.asarray(xb)), axis=1, keepdims=True
+    ).repeat(BLOCK, 1).reshape(-1)[:n]
+    # symmetric linear int8: |err| <= absmax/127/2 (+fp slack)
+    assert np.all(np.abs(back - x) <= absmax_per_block / 127.0 * 0.51 + 1e-9)
+
+
+def test_nu_roundtrip_relative_error_bound():
+    rng = np.random.default_rng(1)
+    # 8 decades of dynamic range INSIDE each block — the case that kills
+    # linear-domain codes (small elements crush to 0).
+    x = 10.0 ** rng.uniform(-10, -2, 1000)
+    xb, n = _blocks(x)
+    mask = _valid_mask(n)
+    q, lo, hi = quantize_nu(xb, mask)
+    back = np.asarray(dequantize_nu(q, lo, hi)).reshape(-1)[:n]
+    rel = np.abs(back - x) / x
+    # affine-in-log2 over <=40 log2 units: rel err <= 2^(40/255/2)-1 ~ 5.6%
+    assert np.max(rel) < 0.06, np.max(rel)
+
+
+def test_nu_zero_and_pad_are_harmless():
+    x = np.zeros(130, np.float32)  # forces a partial second block
+    x[0] = 1e-4
+    xb, n = _blocks(x)
+    mask = _valid_mask(n)
+    q, lo, hi = quantize_nu(xb, mask)
+    back = np.asarray(dequantize_nu(q, lo, hi)).reshape(-1)[:n]
+    assert abs(back[0] - 1e-4) / 1e-4 < 0.06
+    # exact zeros come back at/below the clamp floor (hi - 40 log2 units):
+    # sqrt at or below adam's eps scale
+    assert np.all(np.isfinite(back))
+    assert np.all(np.sqrt(back[1:]) < 2e-8)
+
+
+def test_trajectory_matches_adamw_on_ill_conditioned_quadratic():
+    """200 steps on a quadratic whose curvature spans 4 orders of
+    magnitude across (and within) leaves — the nu dynamic range test.
+    The 8-bit trajectory must converge like the f32 one."""
+    rng = np.random.default_rng(2)
+    curv = {
+        "a": jnp.asarray(10.0 ** rng.uniform(-2, 2, (3, 200)), jnp.float32),
+        "b": jnp.asarray(10.0 ** rng.uniform(-2, 2, (517,)), jnp.float32),
+    }
+    target = jax.tree_util.tree_map(
+        lambda c: jnp.asarray(rng.standard_normal(c.shape), jnp.float32), curv
+    )
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, curv)
+
+    def loss_fn(x):
+        sq = jax.tree_util.tree_map(
+            lambda xi, c, t: jnp.sum(c * (xi - t) ** 2), x, curv, target
+        )
+        return sum(jax.tree_util.tree_leaves(sq))
+
+    def run(tx):
+        x = x0
+        st = tx.init(x)
+
+        @jax.jit
+        def step(x, st):
+            loss, g = jax.value_and_grad(loss_fn)(x)
+            upd, st = tx.update(g, st, x)
+            return optax.apply_updates(x, upd), st, loss
+
+        for _ in range(200):
+            x, st, loss = step(x, st)
+        return float(loss)
+
+    base = run(optax.adamw(1e-1, weight_decay=0.0))
+    quant = run(adamw8bit(1e-1))
+    l0 = float(loss_fn(x0))
+    assert quant < 1e-2 * l0, (quant, l0)
+    # same convergence regime as f32 adamw (not bit-equal)
+    assert quant < max(base * 10.0, 1e-4 * l0), (quant, base)
+
+
+def test_build_optimizer_8bit_freeze_and_accumulation():
+    params = {
+        "led": {"w": jnp.ones((4, BLOCK)), "b": jnp.zeros((5,))},
+        "mips_encoder": {"w": jnp.full((BLOCK,), 2.0)},
+    }
+    tx = build_optimizer(
+        1e-2, 1, 100, grad_clip=0.1, state_8bit=True,
+        frozen_groups=("mips_encoder",), params=params, accumulate_steps=2,
+    )
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    x = params
+    for _ in range(4):  # 2 accumulation rounds
+        upd, st = tx.update(g, st, x)
+        x = optax.apply_updates(x, upd)
+    assert np.allclose(np.asarray(x["mips_encoder"]["w"]), 2.0)  # frozen
+    assert not np.allclose(np.asarray(x["led"]["w"]), 1.0)  # trained
+
+
+def test_zero_specs_and_checkpoint_roundtrip(tmp_path):
+    from jax.sharding import Mesh
+    from retrieval_augmented_mds_tpu.parallel.zero import zero_sharding_for_tree
+    from retrieval_augmented_mds_tpu.utils.checkpoint import (
+        load_pytree,
+        save_pytree,
+    )
+
+    params = {"w": jnp.ones((300,)), "v": jnp.ones((2, 70))}
+    tx = build_optimizer(1e-2, 1, 100, state_8bit=True)
+    st = tx.init(params)
+    upd, st = tx.update(
+        jax.tree_util.tree_map(jnp.ones_like, params), st, params)
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("data",))
+    specs = zero_sharding_for_tree(st, mesh)
+    assert jax.tree_util.tree_structure(specs) == jax.tree_util.tree_structure(st)
+
+    path = str(tmp_path / "st.npz")
+    save_pytree(path, st)
+    back = load_pytree(path, st)
+    for a, b in zip(jax.tree_util.tree_leaves(st),
+                    jax.tree_util.tree_leaves(back)):
+        assert a.dtype == b.dtype  # int8/uint8 preserved
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rag_train_step_with_8bit_state_decreases_loss():
+    from retrieval_augmented_mds_tpu.models.retriever_generator import (
+        RAGConfig,
+        init_rag,
+    )
+    from retrieval_augmented_mds_tpu.train.trainer import (
+        TrainHyper,
+        TrainState,
+        make_train_step,
+    )
+    from tests.test_rag_model import _batch, _store
+
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(0), cfg)
+    store = _store(cfg)
+    batch = _batch(cfg)
+    hyper = TrainHyper(lr=3e-3, warmup_steps=1, total_steps=100)
+    tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps,
+                         grad_clip=hyper.grad_clip, state_8bit=True)
+    state = TrainState.create(params, tx)
+    step = make_train_step(cfg, tx, hyper)
+
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, store, batch, None)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses

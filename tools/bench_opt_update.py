@@ -12,6 +12,9 @@ params and dissects the gap with variants:
   * f32mu     — clip + adamw with f32 mu (reference-faithful state)
   * bf16grads — grads cast to bf16 before the chain (halves g traffic;
                 numerics experiment, NOT production)
+  * 8bit      — clip + blockwise 8-bit adamw (train/adam8bit.py):
+                int8 mu + log2-affine uint8 nu, production option
+                (train.adam_8bit)
 
 Timing: scan-difference recipe (CLAUDE.md) — the update loops inside one
 jitted lax.scan with a per-iteration grad perturbation, fenced on a
@@ -98,12 +101,15 @@ def main():
         "f32mu": dict(grad_clip=0.1, mu_dtype=None, bf16_grads=False),
         "bf16grads": dict(grad_clip=0.1, mu_dtype="bfloat16",
                           bf16_grads=True),
+        "8bit": dict(grad_clip=0.1, mu_dtype=None, bf16_grads=False,
+                     state_8bit=True),
     }
 
     results = {}
     for name, v in variants.items():
         tx = build_optimizer(1e-4, 10, 1000, grad_clip=v["grad_clip"],
-                             mu_dtype=v["mu_dtype"])
+                             mu_dtype=v["mu_dtype"],
+                             state_8bit=v.get("state_8bit", False))
         opt_state = tx.init(params)
 
         bf16 = v["bf16_grads"]
@@ -130,12 +136,16 @@ def main():
         sec = scan_diff(run, params, opt_state, 0)
         # traffic model: norm pass (read g) if clipped; update pass reads
         # g,p,nu (+mu) writes p,nu (+mu)
-        mu_b = 2 if v["mu_dtype"] == "bfloat16" else 4
+        if v.get("state_8bit"):
+            mu_b = nu_b = 1.1  # int8 moments + f32 scales every 128
+        else:
+            mu_b = 2 if v["mu_dtype"] == "bfloat16" else 4
+            nu_b = 4
         g_b = 2 if bf16 else 4
         traffic = real_total * (
             (g_b if v["grad_clip"] else 0)  # norm pass
-            + g_b + 4 + 4 + mu_b            # update reads g,p,nu,mu
-            + 4 + 4 + mu_b                  # update writes p,nu,mu
+            + g_b + 4 + nu_b + mu_b         # update reads g,p,nu,mu
+            + 4 + nu_b + mu_b               # update writes p,nu,mu
         )
         roof_ms = traffic / (V5E_HBM_GBS * 1e9) * 1e3
         results[name] = {

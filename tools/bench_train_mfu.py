@@ -120,6 +120,8 @@ def main():
                     help="memory_model_fixed=False: reference-faithful "
                     "separate memory encoder (two re-encodes per step) "
                     "instead of the shared-encoder default")
+    ap.add_argument("--adam8bit", action="store_true",
+                    help="blockwise 8-bit Adam state (train/adam8bit.py)")
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--skip-train", action="store_true",
                     help="measure only the encoder (split slow compiles "
@@ -196,7 +198,8 @@ def main():
     }
 
     hyper = TrainHyper(lr=3e-5, warmup_steps=10, total_steps=1000)
-    tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps)
+    tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps,
+                         state_8bit=args.adam8bit)
     state = TrainState.create(params, tx)
     step = make_train_step(cfg, tx, hyper, dtype=jnp.bfloat16,
                            remat=args.remat)
@@ -283,6 +286,7 @@ def main():
             "memory": args.mem_k * args.mem_len,
             "memory_model_fixed": fixed,
             "remat": args.remat,
+            "adam_8bit": args.adam8bit,
             "step_ms": round(t_step * 1e3, 2),
             "xla_flops": flops,
             "mfu_pct_v5e_bf16": round(

@@ -134,8 +134,17 @@ def adamw8bit(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    fused: bool = True,
 ) -> optax.GradientTransformation:
-    """Drop-in for ``optax.adamw`` with blockwise 8-bit moment storage."""
+    """Drop-in for ``optax.adamw`` with blockwise 8-bit moment storage.
+
+    ``fused=True`` (default) routes large leaves through the single-pass
+    Pallas kernel (ops/adam8bit_update.py) on TPU — the XLA lowering of
+    the quantizer reductions runs at 3.76x the HBM roofline, the kernel
+    at ~1x. The XLA composite below remains the oracle, the CPU path,
+    and the path under RAMDS_FORCE_XLA_OPS=1. Leave ``fused=False`` for
+    meshes that shard the optimizer state (ZeRO): pallas_call is not
+    spmd-partitioned, so XLA would replicate the state to run it."""
 
     sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
 
@@ -180,14 +189,44 @@ def adamw8bit(
         leaves_nlo = treedef.flatten_up_to(state.nu_lo)
         leaves_nhi = treedef.flatten_up_to(state.nu_hi)
 
+        use_fused = False
+        if fused:
+            from ..ops.adam8bit_update import (
+                MIN_FUSED_SIZE,
+                adam8bit_leaf_update,
+                fused_enabled,
+            )
+
+            use_fused = fused_enabled()
+        scal = None
+        if use_fused:
+            scal = jnp.stack([bc1, bc2, lr]).astype(jnp.float32)
+            scal = scal.reshape(1, 3)
+
         upds, mqs, mss, nqs, nlos, nhis = [], [], [], [], [], []
         for p, g, mq, ms, nq, nlo, nhi in zip(
             leaves_p, leaves_g, leaves_mq, leaves_ms, leaves_nq,
             leaves_nlo, leaves_nhi,
         ):
             n = int(p.size)
-            mask = _valid_mask(n)
             gb = _to_blocks(g)
+            if use_fused and n >= MIN_FUSED_SIZE:
+                pb = _to_blocks(p) if weight_decay else gb  # dummy if no wd
+                upd, q, s, qn, lo, hi = adam8bit_leaf_update(
+                    gb, mq, ms, nq, nlo, nhi, pb, scal,
+                    n=n, b1=b1, b2=b2, eps=eps,
+                    wd=float(weight_decay),
+                    out_dtype=jnp.dtype(p.dtype),
+                    tiny=_TINY, log_tiny=_LOG_TINY, log_range=_LOG_RANGE,
+                )
+                upds.append(upd.reshape(-1)[:n].reshape(p.shape))
+                mqs.append(q)
+                mss.append(s)
+                nqs.append(qn)
+                nlos.append(lo)
+                nhis.append(hi)
+                continue
+            mask = _valid_mask(n)
             mu = b1 * dequantize_mu(mq, ms) + (1.0 - b1) * gb
             nu = b2 * dequantize_nu(nq, nlo, nhi) + (1.0 - b2) * gb * gb
             mhat = mu / bc1

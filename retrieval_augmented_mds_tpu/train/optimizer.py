@@ -59,6 +59,7 @@ def build_optimizer(
     accumulate_steps: int = 1,  # reference accumulate_grad_batches
     mu_dtype: str | None = "bfloat16",
     state_8bit: bool = False,
+    state_8bit_fused: bool = True,
 ):
     """Returns an optax GradientTransformation.
 
@@ -83,7 +84,8 @@ def build_optimizer(
     if state_8bit:
         from .adam8bit import adamw8bit
 
-        chain.append(adamw8bit(sched, weight_decay=weight_decay))
+        chain.append(adamw8bit(sched, weight_decay=weight_decay,
+                               fused=state_8bit_fused))
     else:
         chain.append(optax.adamw(
             sched, weight_decay=weight_decay,

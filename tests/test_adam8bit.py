@@ -185,3 +185,94 @@ def test_rag_train_step_with_8bit_state_decreases_loss():
         state, metrics = step(state, store, batch, None)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_fused_kernel_matches_xla_composite_per_leaf():
+    """ops/adam8bit_update.py (interpret mode) vs the XLA composite, on a
+    leaf with a partial tail block and non-trivial prior state, with and
+    without weight decay."""
+    from retrieval_augmented_mds_tpu.ops.adam8bit_update import (
+        adam8bit_leaf_update,
+    )
+    from retrieval_augmented_mds_tpu.train.adam8bit import (
+        _LOG_RANGE,
+        _LOG_TINY,
+        _TINY,
+        _to_blocks,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 16384 + 70  # forces a masked tail block
+    p = {"w": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)}
+    g1 = {"w": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.01)}
+    g2 = {"w": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.01)}
+    b1, b2, eps, lr = 0.9, 0.999, 1e-8, 1e-3
+
+    for wd in (0.0, 0.02):
+        tx = adamw8bit(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd,
+                       fused=False)
+        s0 = tx.init(p)
+        _, s1 = tx.update(g1, s0, p)          # warm state (non-zero q)
+        u_ref, s2 = tx.update(g2, s1, p)      # the step under test
+
+        c = 2.0
+        scal = jnp.asarray(
+            [[1.0 - b1 ** c, 1.0 - b2 ** c, lr]], jnp.float32)
+        gb = _to_blocks(g2["w"])
+        pb = _to_blocks(p["w"]) if wd else gb
+        upd, mq, ms, nq, nlo, nhi = adam8bit_leaf_update(
+            gb, s1.mu_q["w"], s1.mu_scale["w"], s1.nu_q["w"],
+            s1.nu_lo["w"], s1.nu_hi["w"], pb, scal,
+            n=n, b1=b1, b2=b2, eps=eps, wd=wd, out_dtype=jnp.float32,
+            tiny=_TINY, log_tiny=_LOG_TINY, log_range=_LOG_RANGE,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(upd).reshape(-1)[:n], np.asarray(u_ref["w"]),
+            rtol=1e-6, atol=1e-9)
+        # quantized ints: same math in the same order -> at most an
+        # off-by-one from fp association differences, and rarely
+        assert np.max(np.abs(
+            np.asarray(mq, np.int32) - np.asarray(s2.mu_q["w"], np.int32)
+        )) <= 1
+        assert np.max(np.abs(
+            np.asarray(nq, np.int32) - np.asarray(s2.nu_q["w"], np.int32)
+        )) <= 1
+        np.testing.assert_allclose(np.asarray(ms),
+                                   np.asarray(s2.mu_scale["w"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(nlo),
+                                   np.asarray(s2.nu_lo["w"]), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nhi),
+                                   np.asarray(s2.nu_hi["w"]), rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_fused_optimizer_path_matches_unfused(monkeypatch):
+    """End-to-end: adamw8bit(fused=True) forced on via RAMDS_FUSED_OPT
+    (interpret mode on CPU) tracks fused=False over a 3-step trajectory,
+    mixed leaf sizes (one above MIN_FUSED_SIZE, one below)."""
+    monkeypatch.setenv("RAMDS_FUSED_OPT", "1")
+    rng = np.random.default_rng(7)
+    params = {
+        "big": jnp.asarray(rng.standard_normal(20000).astype(np.float32)),
+        "small": jnp.asarray(rng.standard_normal(300).astype(np.float32)),
+    }
+    sched = lambda s: 1e-3 * (1.0 + 0.1 * s)  # exercise traced lr
+    tx_f = adamw8bit(sched, weight_decay=0.01, fused=True)
+    tx_x = adamw8bit(sched, weight_decay=0.01, fused=False)
+    sf, sx = tx_f.init(params), tx_x.init(params)
+    pf, px = params, params
+    import optax
+
+    for i in range(3):
+        g = jax.tree_util.tree_map(
+            lambda x: x * (0.01 * (i + 1)), params)
+        uf, sf = tx_f.update(g, sf, pf)
+        ux, sx = tx_x.update(g, sx, px)
+        pf = optax.apply_updates(pf, uf)
+        px = optax.apply_updates(px, ux)
+    for a, b in zip(jax.tree_util.tree_leaves(pf),
+                    jax.tree_util.tree_leaves(px)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)

@@ -15,13 +15,19 @@ update plus the re-quantized state back exactly once.
 
 Traffic per param (f32 grads/params, wd=0): g 4r + upd 4w + mu 1r1w +
 nu 1r1w + scales 12/128 r/w ~= 12.2 B — below the bf16-mu XLA path's 20 B
-even before counting that path's fusion-duplication overhead.
+even before counting that path's fusion-duplication overhead. The params
+stream is only materialized when weight decay is active (wd != 0 adds
+p 4r -> ~16.2 B/param); at wd == 0 the kernel takes no params operand.
 
-Semantics are bit-identical to the train/adam8bit.py XLA composite
-(same block layout, same quantizer math, same jnp.round half-to-even) —
-parity-tested in tests/test_adam8bit.py both in interpret mode and, via
-tools/run_hw_measurements.sh, on hardware. The composite remains the
-correctness oracle, the CPU path, and the path under RAMDS_FORCE_XLA_OPS=1.
+Semantics match the train/adam8bit.py XLA composite expression-for-
+expression (same block layout, same quantizer math in the same
+association order, same jnp.round half-to-even) — parity-tested in
+tests/test_adam8bit.py both in interpret mode and, via
+tools/run_hw_measurements.sh, on hardware. Exact bitwise equality is not
+guaranteed across backends (XLA may fuse/reassociate the composite
+differently), so the parity test pins a tight float tolerance instead.
+The composite remains the correctness oracle, the CPU path, and the path
+under RAMDS_FORCE_XLA_OPS=1.
 
 Reference context: the upstream reaches for DeepSpeedCPUAdam + ZeRO
 offload to afford Adam state (sotasum/lightning_model.py:16,
@@ -57,18 +63,28 @@ def fused_enabled(interpret: bool | None = None) -> bool:
 
 
 def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
-            p_ref, upd_ref, mq2_ref, ms2_ref, nq2_ref, nlo2_ref, nhi2_ref,
-            *, n, tile_rows, b1, b2, eps, wd, tiny, log_tiny, log_range):
+            *refs, n, tile_rows, b1, b2, eps, wd, tiny, log_tiny, log_range):
+    # params stream exists only when weight decay is active — at wd == 0
+    # the kernel reads exactly the grad/state streams (12.2 B/param).
+    if wd:
+        p_ref, upd_ref, mq2_ref, ms2_ref, nq2_ref, nlo2_ref, nhi2_ref = refs
+    else:
+        upd_ref, mq2_ref, ms2_ref, nq2_ref, nlo2_ref, nhi2_ref = refs
     bc1 = scal_ref[0, 0]
     bc2 = scal_ref[0, 1]
     lr = scal_ref[0, 2]
 
     g = g_ref[...].astype(jnp.float32)
-    # dequant + EMA (matches adam8bit.dequantize_mu/_nu exactly)
-    mu = b1 * (mq_ref[...].astype(jnp.float32) * ms_ref[...]) + (1.0 - b1) * g
+    # dequant + EMA — the exact expressions of adam8bit.dequantize_mu/_nu,
+    # in the same association order (q/255*rng, NOT q*(rng/255)): fp
+    # rounding differs between the two, and the parity test pins this.
+    # Narrow-int casts go through int32: Mosaic has no direct
+    # {u,}int8 <-> f32 lowering (the int32 hop is exact for 8-bit values).
+    mq_f = mq_ref[...].astype(jnp.int32).astype(jnp.float32)
+    mu = b1 * (mq_f * ms_ref[...]) + (1.0 - b1) * g
     rng0 = jnp.maximum(nhi_ref[...] - nlo_ref[...], 1e-6)
-    nu_prev = jnp.exp2(
-        nlo_ref[...] + nq_ref[...].astype(jnp.float32) * (rng0 / 255.0))
+    nq_f = nq_ref[...].astype(jnp.int32).astype(jnp.float32)
+    nu_prev = jnp.exp2(nlo_ref[...] + nq_f / 255.0 * rng0)
     nu = b2 * nu_prev + (1.0 - b2) * g * g
 
     step = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
@@ -77,18 +93,26 @@ def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
     upd_ref[...] = (-lr * step).astype(upd_ref.dtype)
 
     # validity mask for the tail block (pad elements must not steer the
-    # per-block scales — same rule as adam8bit._valid_mask)
+    # per-block scales — same rule as adam8bit._valid_mask). scal[0,3] is
+    # a global row offset: 0 single-device; shard_index * rows_per_shard
+    # when the update runs per-shard under shard_map (ZeRO composition,
+    # train/adam8bit.py). Offsets are block-row counts (< 2^24 for any
+    # realistic leaf), so the f32 slot holds them exactly.
     i = pl.program_id(0)
+    off = scal_ref[0, 3].astype(jnp.int32)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, BLOCK), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, BLOCK), 1)
-    idx = (i * tile_rows + row) * BLOCK + lane
+    idx = (off + i * tile_rows + row) * BLOCK + lane
     mask = idx < n
 
     # requant mu: symmetric linear int8 per block
     absmax = jnp.max(jnp.abs(jnp.where(mask, mu, 0.0)), axis=1, keepdims=True)
     scale = absmax / 127.0
     safe = jnp.where(scale > 0, scale, 1.0)
-    mq2_ref[...] = jnp.clip(jnp.round(mu / safe), -127, 127).astype(jnp.int8)
+    mq2_ref[...] = (
+        jnp.clip(jnp.round(mu / safe), -127, 127)
+        .astype(jnp.int32).astype(jnp.int8)
+    )
     ms2_ref[...] = scale
 
     # requant nu: affine-in-log2 uint8 per block
@@ -100,7 +124,7 @@ def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
     lo = jnp.clip(lo, hi - log_range, hi)
     rng1 = jnp.maximum(hi - lo, 1e-6)
     q = jnp.round(jnp.clip((log - lo) / rng1, 0.0, 1.0) * 255.0)
-    nq2_ref[...] = q.astype(jnp.uint8)
+    nq2_ref[...] = q.astype(jnp.int32).astype(jnp.uint8)
     nlo2_ref[...] = lo
     nhi2_ref[...] = hi
 
@@ -130,8 +154,10 @@ def adam8bit_leaf_update(
     Args (all blocked to the quantizer layout):
       g2   [nb, 128] grads;  mq/nq [nb, 128] int8/uint8 moments;
       ms/nlo/nhi [nb, 1] f32 block scales;  p2 [nb, 128] params
-      (only read when wd != 0 — pass g2 as a dummy otherwise);
-      scal [1, 3] f32 = (bias_corr1, bias_corr2, lr) — traced scalars.
+      (only DMA'd when wd != 0 — pass g2 as a dummy otherwise; it is
+      dropped before the pallas_call so no extra traffic occurs);
+      scal [1, 4] f32 = (bias_corr1, bias_corr2, lr, row_offset) —
+      traced scalars; row_offset is 0 except per-shard under shard_map.
 
     Returns (upd2, mq2, ms2, nq2, nlo2, nhi2) in the same blocked layout.
     """
@@ -143,7 +169,14 @@ def adam8bit_leaf_update(
 
     row_spec = pl.BlockSpec((r, BLOCK), lambda i: (i, 0))
     col_spec = pl.BlockSpec((r, 1), lambda i: (i, 0))
-    scal_spec = pl.BlockSpec((1, 3), lambda i: (0, 0))
+    scal_spec = pl.BlockSpec((1, 4), lambda i: (0, 0))
+
+    in_specs = [scal_spec, row_spec, row_spec, col_spec, row_spec,
+                col_spec, col_spec]
+    operands = [scal, g2, mq, ms, nq, nlo, nhi]
+    if wd:
+        in_specs.append(row_spec)
+        operands.append(p2)
 
     kern = functools.partial(
         _kernel, n=n, tile_rows=r, b1=b1, b2=b2, eps=eps, wd=wd,
@@ -151,8 +184,7 @@ def adam8bit_leaf_update(
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[scal_spec, row_spec, row_spec, col_spec, row_spec,
-                  col_spec, col_spec, row_spec],
+        in_specs=in_specs,
         out_specs=[row_spec, row_spec, col_spec, row_spec, col_spec,
                    col_spec],
         out_shape=[
@@ -164,4 +196,4 @@ def adam8bit_leaf_update(
             jax.ShapeDtypeStruct((nb, 1), jnp.float32),        # nu_hi
         ],
         interpret=interpret,
-    )(scal, g2, mq, ms, nq, nlo, nhi, p2)
+    )(*operands)

@@ -128,6 +128,48 @@ def dequantize_nu(q: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray):
     return nu
 
 
+def _sharded_leaf_update(gb, mq, ms, nq, nlo, nhi, pb, scal, *, mesh, axis,
+                         update_fn, **kw):
+    """Run the fused kernel per-shard under ``shard_map`` so ZeRO-sharded
+    optimizer state never gathers: rows are padded to a shard multiple
+    (appended pad rows land in the LAST shard, where their global indices
+    are >= n and the kernel's validity mask neutralizes them), each shard
+    passes its global row offset through scal[0,3], and pad rows are
+    sliced off the outputs. The param-shaped update the caller reshapes
+    is row-sharded here; GSPMD all-gathers it at the apply site — exactly
+    the ZeRO-2 gather point."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    ax = int(mesh.shape[axis])
+    nb = gb.shape[0]
+    nb_pad = -(-nb // ax) * ax
+    pad = nb_pad - nb
+
+    def padrow(x):
+        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    args = tuple(padrow(x) for x in (gb, mq, ms, nq, nlo, nhi, pb))
+    nb_loc = nb_pad // ax
+
+    def shard_fn(gb, mq, ms, nq, nlo, nhi, pb, scal):
+        off = jax.lax.axis_index(axis) * nb_loc
+        scal = scal.at[0, 3].set(off.astype(jnp.float32))
+        return update_fn(gb, mq, ms, nq, nlo, nhi, pb, scal, **kw)
+
+    row = P(axis, None)
+    out = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(row,) * 7 + (P(None, None),),
+        out_specs=(row,) * 6,
+        check_vma=False,
+    )(*args, scal)
+    if pad:
+        out = tuple(x[:nb] for x in out)
+    return out
+
+
 def adamw8bit(
     learning_rate: float | Callable,
     b1: float = 0.9,
@@ -135,6 +177,8 @@ def adamw8bit(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     fused: bool = True,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> optax.GradientTransformation:
     """Drop-in for ``optax.adamw`` with blockwise 8-bit moment storage.
 
@@ -142,9 +186,16 @@ def adamw8bit(
     Pallas kernel (ops/adam8bit_update.py) on TPU — the XLA lowering of
     the quantizer reductions runs at 3.76x the HBM roofline, the kernel
     at ~1x. The XLA composite below remains the oracle, the CPU path,
-    and the path under RAMDS_FORCE_XLA_OPS=1. Leave ``fused=False`` for
-    meshes that shard the optimizer state (ZeRO): pallas_call is not
-    spmd-partitioned, so XLA would replicate the state to run it."""
+    and the path under RAMDS_FORCE_XLA_OPS=1.
+
+    ``mesh`` composes the fused kernel with ZeRO-sharded optimizer state:
+    a bare pallas_call is not SPMD-partitioned (XLA would gather the
+    sharded state to run it), so when a mesh with >1 device on
+    ``shard_axis`` is given, each leaf's blocked arrays are padded to a
+    shard multiple and the kernel runs per-shard under ``shard_map`` —
+    the state stays sharded, each chip streams only its rows, and the
+    param-shaped update is re-gathered by GSPMD exactly where ZeRO-2
+    gathers it. Single-device semantics are identical (parity-tested)."""
 
     sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
 
@@ -198,10 +249,14 @@ def adamw8bit(
             )
 
             use_fused = fused_enabled()
+        n_shards = (
+            int(mesh.shape.get(shard_axis, 1)) if mesh is not None else 1
+        )
         scal = None
         if use_fused:
-            scal = jnp.stack([bc1, bc2, lr]).astype(jnp.float32)
-            scal = scal.reshape(1, 3)
+            zero = jnp.zeros((), jnp.float32)  # row offset (per-shard)
+            scal = jnp.stack([bc1, bc2, lr, zero]).astype(jnp.float32)
+            scal = scal.reshape(1, 4)
 
         upds, mqs, mss, nqs, nlos, nhis = [], [], [], [], [], []
         for p, g, mq, ms, nq, nlo, nhi in zip(
@@ -212,13 +267,22 @@ def adamw8bit(
             gb = _to_blocks(g)
             if use_fused and n >= MIN_FUSED_SIZE:
                 pb = _to_blocks(p) if weight_decay else gb  # dummy if no wd
-                upd, q, s, qn, lo, hi = adam8bit_leaf_update(
-                    gb, mq, ms, nq, nlo, nhi, pb, scal,
+                kw = dict(
                     n=n, b1=b1, b2=b2, eps=eps,
                     wd=float(weight_decay),
                     out_dtype=jnp.dtype(p.dtype),
                     tiny=_TINY, log_tiny=_LOG_TINY, log_range=_LOG_RANGE,
                 )
+                if n_shards > 1:
+                    upd, q, s, qn, lo, hi = _sharded_leaf_update(
+                        gb, mq, ms, nq, nlo, nhi, pb, scal,
+                        mesh=mesh, axis=shard_axis,
+                        update_fn=adam8bit_leaf_update, **kw,
+                    )
+                else:
+                    upd, q, s, qn, lo, hi = adam8bit_leaf_update(
+                        gb, mq, ms, nq, nlo, nhi, pb, scal, **kw,
+                    )
                 upds.append(upd.reshape(-1)[:n].reshape(p.shape))
                 mqs.append(q)
                 mss.append(s)

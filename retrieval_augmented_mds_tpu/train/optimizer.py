@@ -60,6 +60,7 @@ def build_optimizer(
     mu_dtype: str | None = "bfloat16",
     state_8bit: bool = False,
     state_8bit_fused: bool = True,
+    mesh=None,
 ):
     """Returns an optax GradientTransformation.
 
@@ -74,7 +75,9 @@ def build_optimizer(
     ``state_8bit`` swaps adamw for the blockwise-quantized 8-bit variant
     (train/adam8bit.py): int8 mu + log2-affine uint8 nu, per-128 f32
     scales — ~33% less optimizer HBM traffic and ~6 B/param of capacity
-    freed. Overrides ``mu_dtype``."""
+    freed. Overrides ``mu_dtype``. With ``mesh`` (>1 device on ``data``),
+    the fused kernel runs per-shard under shard_map so ZeRO-sharded
+    state stays sharded (train/adam8bit._sharded_leaf_update)."""
     import jax.numpy as jnp
 
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
@@ -82,10 +85,12 @@ def build_optimizer(
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
     if state_8bit:
+        from ..parallel.mesh import DATA_AXIS
         from .adam8bit import adamw8bit
 
         chain.append(adamw8bit(sched, weight_decay=weight_decay,
-                               fused=state_8bit_fused))
+                               fused=state_8bit_fused, mesh=mesh,
+                               shard_axis=DATA_AXIS))
     else:
         chain.append(optax.adamw(
             sched, weight_decay=weight_decay,

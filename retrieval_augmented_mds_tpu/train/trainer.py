@@ -83,6 +83,10 @@ class TrainHyper:
     # adam_mu_dtype. The TPU-native stand-in for the reference's
     # DeepSpeed ZeRO CPU offload (lightning_model.py:16).
     adam_8bit: bool = False
+    # Route large-leaf 8-bit updates through the fused Pallas kernel
+    # (ops/adam8bit_update.py). On a mesh the kernel runs per-shard under
+    # shard_map, composing with ZeRO-sharded state. Off = XLA composite.
+    adam_8bit_fused: bool = True
 
 
 def make_train_step(

@@ -43,6 +43,8 @@ def build_mesh(cfg):
     from .parallel import MeshSpec, best_mesh
 
     n = len(jax.devices())
+    if cfg.mesh.data == 0 or cfg.mesh.shard == 0:
+        return None  # explicit single-device (mesh: {data: 0})
     if cfg.mesh.data and cfg.mesh.shard:
         return MeshSpec(cfg.mesh.data, cfg.mesh.shard).build()
     if n == 1:
@@ -140,7 +142,35 @@ def build_store(params, cfg, dm=None, mesh=None, *, token_ids=None,
     )
 
 
-def _device_batch(batch, cfg):
+def load_store(index_dir: str, cfg, mesh=None):
+    """Rebuild a MemoryStore from a persisted `build-index` directory —
+    no re-embed (reference `Mips.load`, sotasum/mips.py:545-549). The
+    validate/test/export commands take this via `--index` so a 1M-doc
+    corpus isn't re-encoded on every run."""
+    import jax.numpy as jnp
+
+    from .index import load_index
+    from .models.retriever_generator import MemoryStore
+
+    index = load_index(index_dir, mesh=mesh)
+    tok = np.load(os.path.join(index_dir, "corpus_tokens.npz"))
+    row_aids = (
+        jnp.asarray(tok["row_aids"]) if "row_aids" in tok.files else None
+    )
+    return MemoryStore(
+        index=index,
+        token_ids=jnp.asarray(tok["token_ids"]),
+        token_mask=jnp.asarray(tok["token_mask"]),
+        row_aids=row_aids,
+        nprobe=cfg.index.nprobe,
+    )
+
+
+def _device_batch(batch, cfg, mesh=None):
+    """Host batch → device arrays. With a mesh, every array is placed
+    data-parallel — sharded over the ``data`` axis (the DDP batch split of
+    reference config/no_mips.yaml:4-16) — so the jitted step never has to
+    infer the batch sharding from the index placement alone."""
     import jax.numpy as jnp
 
     from .models.led import shift_tokens_right
@@ -158,6 +188,22 @@ def _device_batch(batch, cfg):
     out["decoder_input_ids"] = shift_tokens_right(
         out["labels"], cfg.model.led.pad_id, cfg.generation.decoder_start_id
     )
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+
+        ndata = mesh.shape[DATA_AXIS]
+        b = out["input_ids"].shape[0]
+        if ndata > 1 and b % ndata == 0:
+            out = {
+                k: jax.device_put(
+                    v,
+                    NamedSharding(mesh, P(DATA_AXIS, *[None] * (v.ndim - 1))),
+                )
+                for k, v in out.items()
+            }
     return out
 
 
@@ -165,10 +211,11 @@ def _device_batch(batch, cfg):
 # subcommands
 # ---------------------------------------------------------------------------
 
-def build_tx(cfg, params):
+def build_tx(cfg, params, mesh=None):
     """The ONE optimizer construction — fit and every checkpoint-loading
     command must build the same transformation tree, or the saved
-    opt_state won't restore."""
+    opt_state won't restore. ``mesh`` only changes how the 8-bit fused
+    update executes (per-shard under shard_map), never the state tree."""
     from .train.optimizer import build_optimizer
 
     frozen = tuple(cfg.train.frozen_groups) + cfg.model.frozen_groups()
@@ -179,6 +226,8 @@ def build_tx(cfg, params):
         accumulate_steps=cfg.train.accumulate_steps,
         mu_dtype=cfg.train.adam_mu_dtype,
         state_8bit=cfg.train.adam_8bit,
+        state_8bit_fused=cfg.train.adam_8bit_fused,
+        mesh=mesh,
     )
 
 
@@ -200,7 +249,7 @@ def run_fit(cfg) -> dict[str, Any]:
 
     import jax.numpy as jnp
 
-    tx = build_tx(cfg, params)
+    tx = build_tx(cfg, params, mesh=mesh)
     state = TrainState.create(params, tx)
     start_step = 0
     if cfg.ckpt_dir and os.path.exists(
@@ -211,6 +260,22 @@ def run_fit(cfg) -> dict[str, Any]:
 
         state, start_step = load_train_state(cfg.ckpt_dir, state)
         print(f"resumed from step {start_step}")
+    if mesh is not None:
+        # the verified multi-chip composition (__graft_entry__.dryrun_
+        # multichip): params replicated, optimizer state ZeRO-sharded over
+        # ``data`` (parallel/zero.py — the DeepSpeed-ZeRO analog of
+        # reference pretrain.py:605-614), batches data-sharded below.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import zero_sharding_for_tree
+
+        state = TrainState(
+            params=jax.device_put(state.params, NamedSharding(mesh, P())),
+            opt_state=jax.device_put(
+                state.opt_state, zero_sharding_for_tree(state.opt_state, mesh)
+            ),
+            step=state.step,
+        )
     dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
     step_fn = make_train_step(
         cfg.model, tx, cfg.train, mesh=mesh, dtype=dtype,
@@ -223,11 +288,14 @@ def run_fit(cfg) -> dict[str, Any]:
     teams = TeamsNotifier(cfg.logging.teams_webhook, cfg.logging.run_name)
     teams.on_fit_start()
 
+    import contextlib
+
     rng = np.random.default_rng(cfg.seed)
     step = start_step
     metrics = {}
     best_rouge1 = -1.0
     try:
+      with (mesh if mesh is not None else contextlib.nullcontext()):
         while step < cfg.max_steps:
             for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + step,
                                     split="train"):
@@ -248,7 +316,7 @@ def run_fit(cfg) -> dict[str, Any]:
                         token_mask=store.token_mask,
                         row_aids=store.row_aids,
                     )
-                dbatch = _device_batch(batch, cfg)
+                dbatch = _device_batch(batch, cfg, mesh)
                 force = (
                     rng.random() < cfg.model.copy_forcing
                     if cfg.model.memory_forcing == "target_in"
@@ -270,7 +338,8 @@ def run_fit(cfg) -> dict[str, Any]:
                 step += 1
                 if cfg.eval_every and step % cfg.eval_every == 0:
                     ev = run_eval_loop(cfg, state.params, store, dm, tok,
-                                       max_batches=cfg.eval_max_batches)
+                                       max_batches=cfg.eval_max_batches,
+                                       mesh=mesh)
                     log.log(step, ev, prefix="val_")
                     # checkpoint on max rouge1 (reference ModelCheckpoint
                     # monitor, config/no_mips.yaml:27-33)
@@ -288,7 +357,7 @@ def run_fit(cfg) -> dict[str, Any]:
 
 
 @functools.lru_cache(maxsize=8)
-def _make_eval_step(model_cfg, gen_opts, dtype):
+def _make_eval_step(model_cfg, gen_opts, dtype, mesh=None):
     import jax
 
     from .models.generate import generate
@@ -296,19 +365,25 @@ def _make_eval_step(model_cfg, gen_opts, dtype):
 
     @jax.jit
     def eval_step(params, store, dbatch):
-        enc = rag_encode(params, model_cfg, store, dbatch, dtype=dtype)
+        enc = rag_encode(params, model_cfg, store, dbatch, dtype=dtype,
+                         mesh=mesh)
         return generate(params, model_cfg, enc, gen_opts, dtype=dtype)
 
     return eval_step
 
 
 def run_eval_loop(cfg, params, store, dm, tok, max_batches: int | None = None,
-                  dump_name: str | None = None, split: str = "val"):
+                  dump_name: str | None = None, split: str = "val",
+                  mesh=None):
     """Generate + ROUGE over the FULL split (reference validation/test
     epochs iterate the whole dataloader, sotasum/lightning_model.py:327-398);
     optional per-epoch output dump (lightning_model.py:383-389).
     ``max_batches`` caps the epoch (reference limit_val_batches,
-    no_mips.yaml:46-49); None = every batch of the split."""
+    no_mips.yaml:46-49); None = every batch of the split. With ``mesh``
+    the eval step runs the same sharded rag_encode as training (index
+    shard-placed → sharded search; batch data-parallel)."""
+    import contextlib
+
     import jax.numpy as jnp
 
     from .eval import RougeAccumulator
@@ -317,7 +392,7 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int | None = None,
     # one compiled encode+generate program, cached across eval epochs
     # (running this eagerly pays per-op dispatch latency on remote
     # backends; re-jitting per epoch pays re-tracing)
-    eval_step = _make_eval_step(cfg.model, cfg.generation, dtype)
+    eval_step = _make_eval_step(cfg.model, cfg.generation, dtype, mesh)
 
     acc = RougeAccumulator()
     outputs = []
@@ -336,8 +411,9 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int | None = None,
                 k: np.concatenate([v, np.repeat(v[:1], reps, axis=0)])
                 for k, v in batch.items()
             }
-        dbatch = _device_batch(batch, cfg)
-        ids = eval_step(params, store, dbatch)
+        dbatch = _device_batch(batch, cfg, mesh)
+        with (mesh if mesh is not None else contextlib.nullcontext()):
+            ids = eval_step(params, store, dbatch)
         preds = tok.batch_decode(np.asarray(ids))[:n_real]
         refs = tok.batch_decode(np.asarray(batch["labels"]))[:n_real]
         acc.add_batch(preds, refs)
@@ -353,12 +429,13 @@ def run_eval_loop(cfg, params, store, dm, tok, max_batches: int | None = None,
     return acc.compute()
 
 
-def run_validate(cfg, split: str = "val"):
+def run_validate(cfg, split: str = "val", index_dir: str | None = None):
     import jax
 
     from .models.retriever_generator import init_rag_pretrained
     from .utils.checkpoint import load_train_state
 
+    mesh = build_mesh(cfg)
     dm, tok = build_data(cfg)
     params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
     if cfg.ckpt_dir and os.path.exists(
@@ -369,16 +446,22 @@ def run_validate(cfg, split: str = "val"):
         like = TrainState.create(params, build_tx(cfg, params))
         state, _ = load_train_state(cfg.ckpt_dir, like)
         params = state.params
-    store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
+    if cfg.model.mips_disabled:
+        store = None
+    elif index_dir:
+        store = load_store(index_dir, cfg, mesh=mesh)
+    else:
+        store = build_store(params, cfg, dm, mesh)
     import time as _t
 
     return run_eval_loop(
         cfg, params, store, dm, tok,
         dump_name=f"{split}_outputs_{int(_t.time())}", split=split,
+        mesh=mesh,
     )
 
 
-def run_predict(cfg):
+def run_predict(cfg, index_dir: str | None = None):
     import jax
 
     from .models.generate import copy_trace, generate
@@ -388,7 +471,12 @@ def run_predict(cfg):
 
     dm, tok = build_data(cfg)
     params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
-    store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
+    if cfg.model.mips_disabled:
+        store = None
+    elif index_dir:
+        store = load_store(index_dir, cfg)
+    else:
+        store = build_store(params, cfg, dm)
     batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
     dbatch = _device_batch(batch, cfg)
     dtype = jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
@@ -406,7 +494,7 @@ def run_predict(cfg):
     return out
 
 
-def run_export(cfg, out_dir: str):
+def run_export(cfg, out_dir: str, index_dir: str | None = None):
     """AOT-export the serving step — rag_encode (query encode → MIPS →
     memory re-encode → rescore) + beam/copy generate — as a serialized
     StableHLO artifact (`jax.export`). Production serving then needs no
@@ -435,7 +523,12 @@ def run_export(cfg, out_dir: str):
         like = TrainState.create(params, build_tx(cfg, params))
         state, _ = load_train_state(cfg.ckpt_dir, like)
         params = state.params
-    store = None if cfg.model.mips_disabled else build_store(params, cfg, dm)
+    if cfg.model.mips_disabled:
+        store = None
+    elif index_dir:
+        store = load_store(index_dir, cfg)
+    else:
+        store = build_store(params, cfg, dm)
     batch = next(dm.batches(cfg.data.batch_size, shuffle=False))
     # serving signature = exactly the predict path's batch minus the
     # train-only labels: optional memory keys (input_memory_*,
@@ -779,11 +872,13 @@ def run_build_index(cfg, out_dir: str):
         from .index.ivf import save_ivf_index
 
         save_ivf_index(store.index, out_dir)
-    np.savez(
-        os.path.join(out_dir, "corpus_tokens.npz"),
-        token_ids=np.asarray(store.token_ids),
-        token_mask=np.asarray(store.token_mask),
-    )
+    tok_arrays = {
+        "token_ids": np.asarray(store.token_ids),
+        "token_mask": np.asarray(store.token_mask),
+    }
+    if store.row_aids is not None:
+        tok_arrays["row_aids"] = np.asarray(store.row_aids)
+    np.savez(os.path.join(out_dir, "corpus_tokens.npz"), **tok_arrays)
     return {"n": store.index.n, "out": out_dir}
 
 
@@ -872,6 +967,12 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--out", default="./index_out")
     p.add_argument(
+        "--index", default=None, metavar="DIR",
+        help="validate/test/predict/export: load this persisted "
+        "build-index directory instead of re-embedding the corpus "
+        "(reference Mips.load, sotasum/mips.py:545-549)",
+    )
+    p.add_argument(
         "--profile", action="store_true",
         help="capture a jax profiler trace of the run into <log_dir>/trace",
     )
@@ -913,10 +1014,11 @@ def main(argv=None):
             out = runner(cfg)
     elif args.command in ("validate", "test"):
         out = run_validate(
-            cfg, split="test" if args.command == "test" else "val"
+            cfg, split="test" if args.command == "test" else "val",
+            index_dir=args.index,
         )
     elif args.command == "predict":
-        out = run_predict(cfg)
+        out = run_predict(cfg, index_dir=args.index)
     elif args.command == "pretrain-retriever":
         out = (
             run_pretrain_retriever_predict(cfg)
@@ -926,7 +1028,7 @@ def main(argv=None):
     elif args.command == "build-index":
         out = run_build_index(cfg, args.out)
     elif args.command == "export":
-        out = run_export(cfg, args.out)
+        out = run_export(cfg, args.out, index_dir=args.index)
     else:
         out = run_bench_index(cfg)
     print(json.dumps(out, default=str)[:2000])

@@ -13,8 +13,9 @@ cluster ids are unioned (static cap B·nprobe), the union's clusters are
 gathered once, and the fused flat kernel searches the gathered subset plus
 the spill buffer. Per-query work is therefore shared across the batch —
 the right trade on an MXU, where the corpus stream is amortized over all
-queries in flight. A dedicated per-query DMA kernel for tiny serving
-batches is future work (see ops/mips_topk.py for the flat kernel).
+queries in flight. At serving shapes (B·nprobe < C on TPU) `ivf_search`
+routes to the per-query double-buffered DMA kernel in ivf_serving.py
+instead — each query reads exactly its own nprobe clusters from HBM.
 """
 
 from __future__ import annotations
@@ -307,6 +308,23 @@ def build_ivf_index(
 # Search
 # ---------------------------------------------------------------------------
 
+_SERVING_RUN = 128  # running top-k lanes of the serving kernel (= ops _RUN)
+
+
+def _serving_kernel_on() -> bool:
+    """Serving-shape searches route through the per-query DMA kernel
+    (ivf_serving.py) on real TPUs; RAMDS_IVF_SERVING=1 forces the route
+    (interpret mode — route-equivalence tests), RAMDS_FORCE_XLA_OPS=1
+    forces the union-probe XLA composite."""
+    import os
+
+    if os.environ.get("RAMDS_FORCE_XLA_OPS", "") == "1":
+        return False
+    if os.environ.get("RAMDS_IVF_SERVING", "") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _union_pad(flat_ids: jax.Array, cap: int, sentinel: int) -> jax.Array:
     """Unique ids of a flat int array, padded with ``sentinel`` to ``cap``."""
     srt = jnp.sort(flat_ids)
@@ -361,15 +379,21 @@ def _scan_all_clusters(index: IVFIndex, q: jax.Array, k: int, ignore):
     return vals, got
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "serving"))
 def ivf_search(
     index: IVFIndex,
     queries: jax.Array,  # [B, D]
     k: int = 10,
     nprobe: int = 8,
     ignore: jax.Array | None = None,
+    *,
+    serving: bool | None = None,
 ):
-    """Probed search. Returns (scores [B, k] f32, doc ids [B, k] int32)."""
+    """Probed search. Returns (scores [B, k] f32, doc ids [B, k] int32).
+
+    ``serving`` pins the serving-shape route (per-query DMA kernel) on or
+    off; None = decide from backend/env (`_serving_kernel_on`). Static —
+    explicit values force distinct traces, so tests can compare routes."""
     b, d = queries.shape
     d_pad = index.dim
     c = index.n_clusters
@@ -393,6 +417,24 @@ def ivf_search(
         # direct scan of the clustered layout (5.19 → 1.52 ms vs
         # union-probe @ N=131k, B=256, IVF256; exact recall)
         return _scan_all_clusters(index, q, k, ignore)
+
+    k_fetch = k + (0 if ignore is None else ignore.shape[1])
+    use_serving = _serving_kernel_on() if serving is None else serving
+    if use_serving and k_fetch <= _SERVING_RUN:
+        # serving-shape route (B·nprobe < C, small batch): the per-query
+        # DMA kernel reads exactly each query's nprobe clusters from HBM
+        # (0.60 ms vs 1.6 ms flat @ N=1M, B=4, nprobe=32 on v5e-1) —
+        # FAISS's per-query probe semantics, replacing the reference hot
+        # loop at sotasum/mips.py:382-400. The union-probe gather below
+        # stays as the XLA composite (RAMDS_FORCE_XLA_OPS=1); its
+        # candidate set is a superset (the batch's probe union), so at
+        # B=1 results are identical and at B>1 the composite's recall
+        # can only exceed the per-query route's.
+        from .ivf_serving import ivf_search_serving
+
+        return ivf_search_serving(
+            index, queries, k=k, nprobe=nprobe, ignore=ignore
+        )
 
     # coarse probe: top-nprobe centroids per query
     cscores = q @ index.centroids.T + index.centroid_bias[None, :]
@@ -465,10 +507,18 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     import os
 
     os.makedirs(path, exist_ok=True)
-    arrays = {name: np.asarray(getattr(index, name)) for name in _IVF_ARRAYS}
+
+    def _portable(x):
+        # bf16 has no portable npz encoding (np.load hands back raw |V2
+        # voids); store float payloads as f32 and restore the dtype from
+        # meta on load — exact, bf16 ⊂ f32
+        v = np.asarray(x)
+        return v if v.dtype.kind in "iu" else v.astype(np.float32)
+
+    arrays = {name: _portable(getattr(index, name)) for name in _IVF_ARRAYS}
     if index.clustered_scale is not None:
-        arrays["clustered_scale"] = np.asarray(index.clustered_scale)
-        arrays["spill_scale"] = np.asarray(index.spill_scale)
+        arrays["clustered_scale"] = _portable(index.clustered_scale)
+        arrays["spill_scale"] = _portable(index.spill_scale)
     np.savez(os.path.join(path, "ivf.npz"), **arrays)
     if index.flat is not None:
         from .flat import save_flat_index

@@ -122,18 +122,26 @@ def ivf_search_serving(
     queries: jax.Array,  # [B, D]
     k: int = 10,
     nprobe: int = 8,
+    ignore: jax.Array | None = None,  # [B, I] int32 global doc ids, -1 pad
     *,
     interpret: bool | None = None,
 ):
-    """Per-query probed search. Returns (scores [B, k], doc ids [B, k])."""
+    """Per-query probed search. Returns (scores [B, k], doc ids [B, k]).
+
+    ``ignore`` implements the reference self-exclusion protocol
+    (sotasum/mips.py:388-400): the kernel fetches k + I candidates per
+    query, ignore matches are masked after the spill merge, and the
+    final top-k re-selects."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    extra = 0 if ignore is None else ignore.shape[1]
+    k_fetch = k + extra
     b, d = queries.shape
     d_pad = index.dim
     c = index.n_clusters
     L = index.clustered.shape[1]
     nprobe = min(nprobe, c)
-    assert k <= _RUN
+    assert k_fetch <= _RUN
 
     q = queries.astype(jnp.float32)
     if index.normalized and index.metric == "ip":
@@ -172,7 +180,7 @@ def ivf_search_serving(
         ],
     )
     vals, pos = pl.pallas_call(
-        functools.partial(_kernel, k=k, L=L, nprobe=nprobe),
+        functools.partial(_kernel, k=k_fetch, L=L, nprobe=nprobe),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, _RUN), jnp.float32),
@@ -186,25 +194,31 @@ def ivf_search_serving(
         index.clustered_bias[:, None, :],
         scale[:, None, :],
     )
-    vals = vals[:, 0, :k]
-    pos = pos[:, 0, :k]
+    vals = vals[:, 0, :k_fetch]
+    pos = pos[:, 0, :k_fetch]
 
     # map probed-set positions → global doc ids
     probe_slot = jnp.clip(pos // L, 0, nprobe - 1)
     slot = jnp.clip(pos % L, 0, L - 1)
-    cluster = jnp.take_along_axis(probe, probe_slot, axis=1)  # [B, k]
+    cluster = jnp.take_along_axis(probe, probe_slot, axis=1)  # [B, kk]
     ids = index.clustered_ids[cluster, slot]
     ids = jnp.where(pos == _INT_MAX, -1, ids)
 
     # spill buffer (tiny, always probed) via the flat kernel, then merge
     s_vals, s_pos = mips_topk(
-        q, index.spill, min(k, index.spill.shape[0]), index.spill_bias,
+        q, index.spill, min(k_fetch, index.spill.shape[0]), index.spill_bias,
         None, index.spill_scale,
     )
     s_ids = jnp.where(s_pos >= 0, index.spill_ids[jnp.maximum(s_pos, 0)], -1)
 
     all_vals = jnp.concatenate([vals, s_vals], axis=1)
     all_ids = jnp.concatenate([ids, s_ids], axis=1)
+    if ignore is not None:
+        bad = (
+            all_ids[:, :, None] == ignore[:, None, :].astype(jnp.int32)
+        ).any(-1)
+        all_vals = jnp.where(bad, NEG_INF, all_vals)
     top_vals, top_sel = jax.lax.top_k(all_vals, k)
     top_ids = jnp.take_along_axis(all_ids, top_sel, axis=1)
+    top_ids = jnp.where(top_vals > NEG_INF / 2, top_ids, -1)
     return top_vals, top_ids

@@ -70,6 +70,10 @@ class RetrieverPretrainConfig:
     token_loss: bool = False  # BOW auxiliary loss (:155-163)
     pair_mode: str = "abstract"  # abstract↔cited-ref | "related" (abstract↔related_work)
     eval_k: int = 10  # top-k for full-KB validation metrics
+    # also export the trained encoders as `transformers`-loadable
+    # LongformerModel directories (models/hf_export.py — the
+    # save_pretrained handoff of reference pretrain.py:671-681)
+    hf_export: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -157,7 +157,7 @@ def test_ivf_save_load_roundtrip(tmp_path):
     x = _clustered_data(n=1024, d=32, seed=13)
     rng = np.random.default_rng(13)
     q = rng.standard_normal((4, 32)).astype(np.float32)
-    for dtype in (jnp.float32, "int8"):
+    for dtype in (jnp.float32, jnp.bfloat16, "int8"):
         idx = build_ivf_index(x, n_clusters=8, dtype=dtype, seed=4)
         save_ivf_index(idx, str(tmp_path / f"ivf_{dtype}"))
         idx2 = load_ivf_index(str(tmp_path / f"ivf_{dtype}"))
@@ -321,6 +321,46 @@ def test_empty_spill_skipped_and_exact():
     if idx2.n_spill == 0:
         _, ids2 = ivf_search(idx2, jnp.asarray(q)[:2], k=5, nprobe=8)
         assert np.asarray(ids2).shape == (2, 5)
+
+
+def test_serving_route_b1_matches_composite():
+    """`ivf_search(serving=True)` routes through the per-query DMA kernel
+    (the default on a real TPU); at B=1 the batch's probe union IS the
+    query's own probes, so kernel and composite results must match
+    exactly."""
+    x = _clustered_data(n=2048, d=64, n_true=16, seed=50)
+    rng = np.random.default_rng(51)
+    q = x[rng.integers(0, len(x), 1)] + 0.05 * rng.standard_normal(
+        (1, 64)
+    ).astype(np.float32)
+    idx = build_ivf_index(x, n_clusters=16, dtype=jnp.float32, seed=7,
+                          keep_flat=False)
+
+    v_ref, i_ref = ivf_search(idx, jnp.asarray(q), k=5, nprobe=4,
+                              serving=False)
+    v_k, i_k = ivf_search(idx, jnp.asarray(q), k=5, nprobe=4, serving=True)
+    assert np.array_equal(np.asarray(i_ref), np.asarray(i_k))
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_k), rtol=1e-5)
+
+
+def test_serving_route_honors_ignore():
+    """Self-exclusion flows through the serving-kernel route: own doc ids
+    never appear, and B=1 results equal the composite's ignore path."""
+    x = _clustered_data(n=1024, d=32, seed=52)
+    idx = build_ivf_index(x, n_clusters=16, dtype=jnp.float32, seed=8,
+                          keep_flat=False)
+    for r in range(3):
+        q = jnp.asarray(x[r : r + 1])
+        ignore = jnp.asarray(np.asarray([[r]], dtype=np.int32))
+        _, ids = ivf_search(idx, q, k=5, nprobe=4, ignore=ignore,
+                            serving=True)
+        assert r not in set(np.asarray(ids)[0])
+    q = jnp.asarray(x[:1])
+    ignore = jnp.asarray(np.asarray([[0]], dtype=np.int32))
+    _, i_ref = ivf_search(idx, q, k=5, nprobe=4, ignore=ignore,
+                          serving=False)
+    _, i_k = ivf_search(idx, q, k=5, nprobe=4, ignore=ignore, serving=True)
+    assert np.array_equal(np.asarray(i_ref), np.asarray(i_k))
 
 
 def test_ivf_save_load_preserves_flat_and_nspill(tmp_path):

@@ -282,7 +282,8 @@ def run_fit(cfg) -> dict[str, Any]:
         remat=cfg.train.remat,
     )
 
-    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name)
+    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name,
+                        tensorboard=cfg.logging.tensorboard)
     log.log_hyperparams(dataclasses.asdict(cfg))
     save_config(cfg, os.path.join(cfg.logging.log_dir, "config_resolved.yaml"))
     teams = TeamsNotifier(cfg.logging.teams_webhook, cfg.logging.run_name)
@@ -620,7 +621,8 @@ def run_fit_baseline(cfg):
     step = make_seq2seq_train_step(
         family, cfg.model.led, tx, cfg.train.label_smoothing_eps
     )
-    log = MetricsLogger(cfg.logging.log_dir, f"{cfg.logging.run_name}_{family}")
+    log = MetricsLogger(cfg.logging.log_dir, f"{cfg.logging.run_name}_{family}",
+                        tensorboard=cfg.logging.tensorboard)
     n = 0
     metrics = {}
     while n < cfg.max_steps:
@@ -774,7 +776,8 @@ def run_pretrain_retriever(cfg):
     step_fn = make_retriever_train_step(rcfg, tx)
 
     n = len(pairs["query_input_ids"])
-    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever")
+    log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever",
+                        tensorboard=cfg.logging.tensorboard)
     metrics = {}
     # checkpoint on max average_precision over PERIODIC full-KB
     # validations (reference ModelCheckpoint monitor + per-epoch
@@ -814,6 +817,21 @@ def run_pretrain_retriever(cfg):
         export_encoders(
             os.path.join(cfg.ckpt_dir, "encoders.npz"), state.params
         )
+    if cfg.ckpt_dir and cfg.retriever.hf_export:
+        # HF-format handoff (reference save_pretrained export,
+        # sotasum/pretrain.py:671-681): torch stacks can reload the
+        # trained dual encoders directly
+        from .models.hf_export import save_encoder_pretrained
+
+        for group, enc_cfg in (
+            ("query_encoder", rcfg.query_enc),
+            ("mips_encoder", rcfg.mips_enc),
+        ):
+            save_encoder_pretrained(
+                state.params[group], enc_cfg,
+                os.path.join(cfg.ckpt_dir, f"hf_{group}"),
+            )
+            print(f"[export] {group} -> {cfg.ckpt_dir}/hf_{group}")
     out.update({f"val_{k_}": v for k_, v in vm.items()})
     out["best_average_precision"] = best_ap
     return out

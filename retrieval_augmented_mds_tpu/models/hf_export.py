@@ -103,7 +103,8 @@ def save_encoder_pretrained(
     )
     model = LongformerModel(hf_cfg, add_pooling_layer=False)
     arrays = longformer_state_dict_arrays(params, cfg, type_vocab_size=1)
-    sd = {k: torch.from_numpy(v) for k, v in arrays.items()}
+    # torch.tensor copies — jax-backed buffers are read-only views
+    sd = {k: torch.tensor(v) for k, v in arrays.items()}
     missing, unexpected = model.load_state_dict(sd, strict=False)
     # every exported tensor must land; the model may own extra buffers
     # (e.g. position_ids) that we legitimately don't ship

@@ -32,12 +32,20 @@ def fault_tolerant(f: Callable) -> Callable:
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, run_name: str = "run"):
+    def __init__(self, log_dir: str, run_name: str = "run",
+                 tensorboard: bool = False):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{run_name}.metrics.jsonl")
         self._f = open(self.path, "a")
         self.t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            # opt-in standard-format mirror (reference TB logger,
+            # config/no_mips.yaml:18-25) — JSONL stays the primary sink
+            from .tb import TBEventWriter
+
+            self._tb = TBEventWriter(os.path.join(log_dir, "tb", run_name))
 
     @fault_tolerant
     def log(self, step: int, metrics: dict[str, Any], prefix: str = ""):
@@ -49,6 +57,10 @@ class MetricsLogger:
                 row[prefix + k] = str(v)
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(
+                step, {prefix + k: v for k, v in metrics.items()}
+            )
 
     @fault_tolerant
     def log_hyperparams(self, config: dict[str, Any]):
@@ -65,3 +77,5 @@ class MetricsLogger:
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

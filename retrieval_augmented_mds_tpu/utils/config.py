@@ -87,6 +87,10 @@ class LoggingConfig:
     log_dir: str = "./runs"
     run_name: str = "run"
     teams_webhook: str | None = None
+    # mirror scalars into standard TensorBoard event files under
+    # <log_dir>/tb/<run_name> (obs/tb.py — the reference's TB logger,
+    # config/no_mips.yaml:18-25); JSONL stays the primary sink
+    tensorboard: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,6 +87,11 @@ class TrainHyper:
     # (ops/adam8bit_update.py). On a mesh the kernel runs per-shard under
     # shard_map, composing with ZeRO-sharded state. Off = XLA composite.
     adam_8bit_fused: bool = True
+    # Per-parameter-group gradient norms in the step metrics (the
+    # GradientsPrintingCallback analog, sotasum/lightning_model.py:31-36):
+    # one `grad_norm_<group>` per top-level param group. Off by default —
+    # it adds a reduction per group to the compiled step.
+    grad_group_norms: bool = False
 
 
 def make_train_step(
@@ -154,6 +159,12 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if hyper.grad_group_norms:
+            # per-group gradient diagnostics (GradientsPrintingCallback,
+            # sotasum/lightning_model.py:31-36 — group granularity here;
+            # per-leaf printing does not fit a compiled step)
+            for k, sub in grads.items():
+                metrics[f"grad_norm_{k}"] = optax.global_norm(sub)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             metrics,

@@ -160,3 +160,27 @@ def test_double_buffered_refresh_semantics():
     # new buffer usable immediately (pointer swap)
     enc_new = rag_encode(params, cfg, store_new, batch)
     assert enc_new.retrieved_idx.shape == enc_before.retrieved_idx.shape
+
+
+def test_grad_group_norms_logged():
+    """grad_group_norms adds one finite `grad_norm_<group>` per top-level
+    param group (GradientsPrintingCallback analog,
+    sotasum/lightning_model.py:31-36) and their squares sum to the global
+    norm's square."""
+    cfg = RAGConfig.tiny()
+    params = init_rag(jax.random.PRNGKey(0), cfg)
+    store = _store(cfg)
+    batch = _batch(cfg)
+    hyper = TrainHyper(lr=3e-3, warmup_steps=1, total_steps=100,
+                       grad_group_norms=True)
+    tx = build_optimizer(hyper.lr, hyper.warmup_steps, hyper.total_steps)
+    state = TrainState.create(params, tx)
+    step = make_train_step(cfg, tx, hyper)
+    _, metrics = step(state, store, batch, None)
+
+    groups = {k for k in metrics if k.startswith("grad_norm_")}
+    assert {f"grad_norm_{g}" for g in params} == groups
+    sq = sum(float(metrics[k]) ** 2 for k in groups)
+    np.testing.assert_allclose(
+        sq, float(metrics["grad_norm"]) ** 2, rtol=1e-4
+    )

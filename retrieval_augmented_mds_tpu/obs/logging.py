@@ -33,19 +33,28 @@ def fault_tolerant(f: Callable) -> Callable:
 
 class MetricsLogger:
     def __init__(self, log_dir: str, run_name: str = "run",
-                 tensorboard: bool = False):
+                 tensorboard: bool = False, mlflow: bool = False):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{run_name}.metrics.jsonl")
         self._f = open(self.path, "a")
         self.t0 = time.time()
         self._tb = None
+        self._mlflow = None
         if tensorboard:
             # opt-in standard-format mirror (reference TB logger,
             # config/no_mips.yaml:18-25) — JSONL stays the primary sink
             from .tb import TBEventWriter
 
             self._tb = TBEventWriter(os.path.join(log_dir, "tb", run_name))
+        if mlflow:
+            # opt-in mlflow file-store mirror (the reference's other
+            # logger, config/no_mips.yaml:18-25 / pretrain.py:570-579)
+            from .mlflow import MlflowFileStore
+
+            self._mlflow = MlflowFileStore(
+                os.path.join(log_dir, "mlruns"), run_name=run_name
+            )
 
     @fault_tolerant
     def log(self, step: int, metrics: dict[str, Any], prefix: str = ""):
@@ -61,6 +70,10 @@ class MetricsLogger:
             self._tb.add_scalars(
                 step, {prefix + k: v for k, v in metrics.items()}
             )
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {prefix + k: v for k, v in metrics.items()}, step
+            )
 
     @fault_tolerant
     def log_hyperparams(self, config: dict[str, Any]):
@@ -68,6 +81,8 @@ class MetricsLogger:
         main.py:13-15)."""
         with open(os.path.join(self.log_dir, "hparams.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
+        if self._mlflow is not None:
+            self._mlflow.log_params(config)
 
     @fault_tolerant
     def dump_outputs(self, name: str, outputs: list[dict]):
@@ -79,3 +94,5 @@ class MetricsLogger:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+        if self._mlflow is not None:
+            self._mlflow.close()

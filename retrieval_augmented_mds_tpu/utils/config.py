@@ -91,6 +91,11 @@ class LoggingConfig:
     # <log_dir>/tb/<run_name> (obs/tb.py — the reference's TB logger,
     # config/no_mips.yaml:18-25); JSONL stays the primary sink
     tensorboard: bool = False
+    # mirror scalars + hyperparams into an mlflow FILE-STORE layout under
+    # <log_dir>/mlruns (obs/mlflow.py — the reference's MLFlowLogger with
+    # a file tracking URI, config/no_mips.yaml:18-25); browsable by a
+    # stock `mlflow ui --backend-store-uri <log_dir>/mlruns`
+    mlflow: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -172,6 +172,7 @@ def test_existing_local_dir_that_fails_to_load_raises(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_unfetchable_hub_name_warns_and_keeps_random_init():
     """Zero-egress container: a hub name that can't be fetched must warn
     LOUDLY and keep the random init (graceful skip, not silence)."""

@@ -96,6 +96,7 @@ def test_mips_disabled_plain_seq2seq(setup):
     assert enc_out.memory is None and aux == {}
 
 
+@pytest.mark.slow
 def test_gradients_reach_retriever_only_via_rescoring(setup):
     cfg, params, store, batch = setup
 

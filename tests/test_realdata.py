@@ -68,6 +68,7 @@ def test_fixture_schema_and_corpus_semantics(tmp_path):
     assert all("@cite" not in d for d in decoded)
 
 
+@pytest.mark.slow
 def test_fixture_fit_and_full_validate(tmp_path):
     """End-to-end vertical slice on real-schema text: fit a few steps with
     MIPS + rebuild, then a FULL val-split eval epoch (every example
@@ -121,6 +122,7 @@ def test_tokenize_cache_roundtrip(tmp_path):
     assert dm3.examples["input_ids"].shape[1] == 256
 
 
+@pytest.mark.slow
 def test_named_tokenizer_failure_is_loud():
     """A typo'd tokenizer name must raise, not silently hash-tokenize
     (VERDICT weak #4); fallback='hash' warns."""

@@ -43,6 +43,7 @@ def _setup(b=2, t=256, h=32, w=8, seed=0, n_globals=5):
     return p, x, jnp.asarray(global_mask), jnp.asarray(padding_mask)
 
 
+@pytest.mark.slow
 def test_seqsharded_matches_single_device():
     mesh = _mesh(8)
     p, x, gm, pm = _setup(t=256, w=8)
@@ -55,6 +56,7 @@ def test_seqsharded_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_seqsharded_no_globals_beyond_cls():
     mesh = _mesh(8)
     p, x, _, pm = _setup(t=128, w=4, n_globals=1)
@@ -66,6 +68,7 @@ def test_seqsharded_no_globals_beyond_cls():
     )
 
 
+@pytest.mark.slow
 def test_seqsharded_grad_parity():
     """Sequence parallelism must preserve gradients (training use)."""
     mesh = _mesh(4)
@@ -123,6 +126,7 @@ def test_led_encoder_seqsharded_parity():
     )
 
 
+@pytest.mark.slow
 def test_seqsharded_composes_with_data_parallelism():
     """DP x SP on a (2 data, 4 shard) mesh: batch sharded over `data`,
     sequence over `shard` — same numerics as single-device."""

@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--n-leaves", type=int, default=250,
                     help="split the params into this many leaves "
                     "(LED-base has ~250)")
+    ap.add_argument("--align128", action="store_true",
+                    help="round leaf sizes to multiples of 128 (real "
+                    "transformer leaves are; isolates the blocked-layout "
+                    "pad-copy cost from kernel-launch cost)")
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="run only these variants (e.g. --only 8bit)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--save", action="store_true")
     args = ap.parse_args()
@@ -84,6 +90,9 @@ def main():
     big_each = (n_total * 9 // 10) // n_big
     n_small = args.n_leaves - n_big
     small_each = max(128, (n_total // 10) // max(1, n_small))
+    if args.align128:
+        big_each -= big_each % 128
+        small_each -= small_each % 128
     rng = np.random.default_rng(0)
     params = {}
     for i in range(n_big):
@@ -106,6 +115,8 @@ def main():
     }
 
     results = {}
+    if args.only:
+        variants = {k: v for k, v in variants.items() if k in args.only}
     for name, v in variants.items():
         tx = build_optimizer(1e-4, 10, 1000, grad_clip=v["grad_clip"],
                              mu_dtype=v["mu_dtype"],
@@ -136,17 +147,28 @@ def main():
         sec = scan_diff(run, params, opt_state, 0)
         # traffic model: norm pass (read g) if clipped; update pass reads
         # g,p,nu (+mu) writes p,nu (+mu)
+        g_b = 2 if bf16 else 4
         if v.get("state_8bit"):
-            mu_b = nu_b = 1.1  # int8 moments + f32 scales every 128
+            # superleaf path (train/adam8bit.py): clip rides the concat
+            # (no separate norm pass), but the blocked-grads concat
+            # (g r+w), the materialized f32 update (w+r), and the apply
+            # pass (p r+w) are all real traffic the fused XLA paths
+            # don't pay
+            mu_b = nu_b = 1.1  # int8 moments + f32 scales/nvalid per 128
+            traffic = real_total * (
+                g_b + 4                    # concat read g, write gsuper
+                + 4 + nu_b + mu_b          # kernel reads gsuper,nu,mu
+                + 4 + nu_b + mu_b          # kernel writes upd,nu,mu
+                + 4 + 4 + 4                # apply reads upd,p; writes p
+            )
         else:
             mu_b = 2 if v["mu_dtype"] == "bfloat16" else 4
             nu_b = 4
-        g_b = 2 if bf16 else 4
-        traffic = real_total * (
-            (g_b if v["grad_clip"] else 0)  # norm pass
-            + g_b + 4 + nu_b + mu_b         # update reads g,p,nu,mu
-            + 4 + nu_b + mu_b               # update writes p,nu,mu
-        )
+            traffic = real_total * (
+                (g_b if v["grad_clip"] else 0)  # norm pass
+                + g_b + 4 + nu_b + mu_b         # update reads g,p,nu,mu
+                + 4 + nu_b + mu_b               # update writes p,nu,mu
+            )
         roof_ms = traffic / (V5E_HBM_GBS * 1e9) * 1e3
         results[name] = {
             "ms": round(sec * 1e3, 3),
@@ -159,6 +181,7 @@ def main():
         "bench": "opt_update",
         "params": real_total,
         "n_leaves": len(params),
+        "align128": bool(args.align128),
         "backend": jax.default_backend(),
         "variants": results,
         "note": "scan-differenced; grads synthesized in-loop from params "

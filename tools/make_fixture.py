@@ -181,10 +181,21 @@ def main(out_path, n_examples=200, n_ref_pool=120, seed=20260816):
 
 
 if __name__ == "__main__":
-    main(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "retrieval_augmented_mds_tpu", "data", "fixtures",
-            "multi_x_science_200.json.gz",
-        )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200,
+                    help="number of examples (rw sections)")
+    ap.add_argument("--pool", type=int, default=None,
+                    help="shared reference-abstract pool size "
+                    "(default 0.6*n, the 200-fixture ratio)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "retrieval_augmented_mds_tpu", "data", "fixtures",
+        f"multi_x_science_{args.n}.json.gz"
+        if args.n != 200 else "multi_x_science_200.json.gz",
     )
+    main(out, n_examples=args.n,
+         n_ref_pool=args.pool or max(120, int(args.n * 0.6)))

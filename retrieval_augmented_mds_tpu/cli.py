@@ -108,37 +108,26 @@ def build_data(cfg, prompt_prefix: str = ""):
 def build_store(params, cfg, dm=None, mesh=None, *, token_ids=None,
                 token_mask=None, row_aids=None):
     """Embed the tokenized corpus under the current mips encoder and build
-    the configured index. This is the ONE build path: the initial build
-    (from ``dm``) and the train-time refresh (from an existing store's
-    token arrays) run the same code with the same precision/batch config,
-    so a refresh is bit-identical to a fresh build under equal params
-    (reference rebuild protocol, SURVEY.md §3.2)."""
+    the configured index. Thin adapter over
+    train.trainer.build_memory_store — the ONE build path shared with the
+    train-time refresh, so precision/factory/train_size cannot drift
+    between an initial build and a rebuild (reference rebuild protocol,
+    SURVEY.md §3.2)."""
     import jax.numpy as jnp
 
-    from .index import build_index_from_factory
-    from .models.retriever_generator import MemoryStore
-    from .train.trainer import encode_corpus
+    from .train.trainer import build_memory_store
 
-    jnp_dtype = jnp.bfloat16 if cfg.index.dtype == "bfloat16" else jnp.float32
     if dm is not None:
         token_ids = jnp.asarray(dm.store_arrays["token_ids"])
         token_mask = jnp.asarray(dm.store_arrays["token_mask"])
         aids = dm.store_arrays.get("row_aids")
         row_aids = jnp.asarray(aids) if aids is not None else None
-    emb = encode_corpus(
-        params["mips_encoder"], cfg.model.mips_enc, token_ids, token_mask,
-        batch_size=min(64, token_ids.shape[0]),
-        dtype=jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32,
-        mesh=mesh,
-    )
-    index = build_index_from_factory(
-        emb, cfg.index.factory, metric=cfg.index.metric,
-        normalize=cfg.index.normalize, dtype=jnp_dtype, mesh=mesh,
-        train_size=cfg.index.train_size, seed=cfg.seed,
-    )
-    return MemoryStore(
-        index=index, token_ids=token_ids, token_mask=token_mask,
-        row_aids=row_aids, nprobe=cfg.index.nprobe,
+    return build_memory_store(
+        params, cfg.model, cfg.index,
+        token_ids=token_ids, token_mask=token_mask, row_aids=row_aids,
+        mesh=mesh, seed=cfg.seed,
+        compute_dtype=jnp.bfloat16 if cfg.precision == "bfloat16"
+        else jnp.float32,
     )
 
 
@@ -243,9 +232,6 @@ def run_fit(cfg) -> dict[str, Any]:
     mesh = build_mesh(cfg)
     dm, tok = build_data(cfg)
     params = init_rag_pretrained(jax.random.PRNGKey(cfg.seed), cfg.model)
-    store = (
-        None if cfg.model.mips_disabled else build_store(params, cfg, dm, mesh)
-    )
 
     import jax.numpy as jnp
 
@@ -260,6 +246,13 @@ def run_fit(cfg) -> dict[str, Any]:
 
         state, start_step = load_train_state(cfg.ckpt_dir, state)
         print(f"resumed from step {start_step}")
+    # the store is built from the CURRENT (possibly resumed) weights —
+    # the reference rebuilds the index at fit start for the same reason
+    # (lightning_model.py on_train_start rebuild, SURVEY.md §3.2)
+    store = (
+        None if cfg.model.mips_disabled
+        else build_store(state.params, cfg, dm, mesh)
+    )
     if mesh is not None:
         # the verified multi-chip composition (__graft_entry__.dryrun_
         # multichip): params replicated, optimizer state ZeRO-sharded over
@@ -283,7 +276,8 @@ def run_fit(cfg) -> dict[str, Any]:
     )
 
     log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name,
-                        tensorboard=cfg.logging.tensorboard)
+                        tensorboard=cfg.logging.tensorboard,
+                        mlflow=cfg.logging.mlflow)
     log.log_hyperparams(dataclasses.asdict(cfg))
     save_config(cfg, os.path.join(cfg.logging.log_dir, "config_resolved.yaml"))
     teams = TeamsNotifier(cfg.logging.teams_webhook, cfg.logging.run_name)
@@ -291,15 +285,33 @@ def run_fit(cfg) -> dict[str, Any]:
 
     import contextlib
 
-    rng = np.random.default_rng(cfg.seed)
+    from .utils.checkpoint import mark_best
+
     step = start_step
     metrics = {}
     best_rouge1 = -1.0
+    # last step a checkpoint was written for; a resumed run starts "saved"
+    # at start_step so a no-op resume doesn't rewrite the checkpoint
+    last_saved = start_step if start_step else -1
+    # batch schedule is a pure function of (cfg.seed, global step): epoch
+    # e shuffles with seed cfg.seed + e, so a resumed run re-enters the
+    # SAME epoch permutation at the same offset and the trajectory is
+    # bit-compatible with a never-interrupted run (tested in
+    # tests/test_cli.py crash-resume)
+    steps_per_epoch = max(
+        1, len(dm.split_indices("train")) // cfg.data.batch_size
+    )
     try:
       with (mesh if mesh is not None else contextlib.nullcontext()):
         while step < cfg.max_steps:
-            for batch in dm.batches(cfg.data.batch_size, seed=cfg.seed + step,
-                                    split="train"):
+            epoch = step // steps_per_epoch
+            skip = step % steps_per_epoch  # nonzero only right after resume
+            for bi, batch in enumerate(
+                dm.batches(cfg.data.batch_size, seed=cfg.seed + epoch,
+                           split="train")
+            ):
+                if bi < skip:
+                    continue
                 if step >= cfg.max_steps:
                     break
                 if (
@@ -319,7 +331,10 @@ def run_fit(cfg) -> dict[str, Any]:
                     )
                 dbatch = _device_batch(batch, cfg, mesh)
                 force = (
-                    rng.random() < cfg.model.copy_forcing
+                    # per-step seeded draw (not a sequential rng): the
+                    # forcing schedule survives crash-resume unchanged
+                    np.random.default_rng([cfg.seed, step]).random()
+                    < cfg.model.copy_forcing
                     if cfg.model.memory_forcing == "target_in"
                     else None
                 )
@@ -337,6 +352,14 @@ def run_fit(cfg) -> dict[str, Any]:
                 )
                 log.log(step, metrics)
                 step += 1
+                if (
+                    cfg.ckpt_dir and cfg.train.save_every
+                    and step % cfg.train.save_every == 0
+                ):
+                    # step-interval crash insurance, independent of eval
+                    # wins (reference per-epoch ModelCheckpoint)
+                    save_train_state(cfg.ckpt_dir, state, step)
+                    last_saved = step
                 if cfg.eval_every and step % cfg.eval_every == 0:
                     ev = run_eval_loop(cfg, state.params, store, dm, tok,
                                        max_batches=cfg.eval_max_batches,
@@ -346,8 +369,12 @@ def run_fit(cfg) -> dict[str, Any]:
                     # monitor, config/no_mips.yaml:27-33)
                     if cfg.ckpt_dir and ev.get("rouge1", 0) > best_rouge1:
                         best_rouge1 = ev["rouge1"]
-                        save_train_state(cfg.ckpt_dir, state, step)
-        if cfg.ckpt_dir and best_rouge1 < 0:
+                        path = save_train_state(cfg.ckpt_dir, state, step)
+                        mark_best(cfg.ckpt_dir, step, path, best_rouge1)
+                        last_saved = step
+        if cfg.ckpt_dir and last_saved != step:
+            # persist the final state: a run whose max_steps is not a
+            # save_every multiple must not lose its tail interval
             save_train_state(cfg.ckpt_dir, state, step)
     except BaseException as e:  # noqa: BLE001
         teams.on_exception(e)
@@ -445,7 +472,9 @@ def run_validate(cfg, split: str = "val", index_dir: str | None = None):
         from .train.trainer import TrainState
 
         like = TrainState.create(params, build_tx(cfg, params))
-        state, _ = load_train_state(cfg.ckpt_dir, like)
+        # evaluation loads the rouge1-monitored best when marked
+        # (reference ckpt_path selection); falls back to latest
+        state, _ = load_train_state(cfg.ckpt_dir, like, prefer="best")
         params = state.params
     if cfg.model.mips_disabled:
         store = None
@@ -522,7 +551,7 @@ def run_export(cfg, out_dir: str, index_dir: str | None = None):
         from .utils.checkpoint import load_train_state
 
         like = TrainState.create(params, build_tx(cfg, params))
-        state, _ = load_train_state(cfg.ckpt_dir, like)
+        state, _ = load_train_state(cfg.ckpt_dir, like, prefer="best")
         params = state.params
     if cfg.model.mips_disabled:
         store = None
@@ -622,7 +651,8 @@ def run_fit_baseline(cfg):
         family, cfg.model.led, tx, cfg.train.label_smoothing_eps
     )
     log = MetricsLogger(cfg.logging.log_dir, f"{cfg.logging.run_name}_{family}",
-                        tensorboard=cfg.logging.tensorboard)
+                        tensorboard=cfg.logging.tensorboard,
+                        mlflow=cfg.logging.mlflow)
     n = 0
     metrics = {}
     while n < cfg.max_steps:
@@ -777,7 +807,8 @@ def run_pretrain_retriever(cfg):
 
     n = len(pairs["query_input_ids"])
     log = MetricsLogger(cfg.logging.log_dir, cfg.logging.run_name + "_retriever",
-                        tensorboard=cfg.logging.tensorboard)
+                        tensorboard=cfg.logging.tensorboard,
+                        mlflow=cfg.logging.mlflow)
     metrics = {}
     # checkpoint on max average_precision over PERIODIC full-KB
     # validations (reference ModelCheckpoint monitor + per-epoch
@@ -800,7 +831,9 @@ def run_pretrain_retriever(cfg):
         return vm
 
     for step in range(cfg.max_steps):
-        sel = np.random.default_rng(step).choice(
+        # seeded with cfg.seed so two configs with different seeds draw
+        # different batch sequences (multi-seed retriever ablations)
+        sel = np.random.default_rng(cfg.seed + step).choice(
             n, size=min(cfg.data.batch_size, n), replace=False
         )
         batch = {k: jnp.asarray(v[sel]) for k, v in pairs.items()}
@@ -834,6 +867,38 @@ def run_pretrain_retriever(cfg):
             print(f"[export] {group} -> {cfg.ckpt_dir}/hf_{group}")
     out.update({f"val_{k_}": v for k_, v in vm.items()})
     out["best_average_precision"] = best_ap
+    return out
+
+
+def run_pretrain_retriever_test(cfg):
+    """Test mode of the pretraining CLI (reference
+    `python -m sotasum.pretrain --mode test`, sotasum/pretrain.py:632-681):
+    evaluate a SAVED retriever checkpoint (encoders.npz) against the full
+    knowledge base — no training. The reference additionally exports the
+    encoders in test mode; here export already happened at train time, so
+    test is a pure evaluation of that artifact."""
+    from .obs import MetricsLogger
+
+    rcfg, params, pairs = _pretrain_setup(cfg)
+    enc_path = (
+        os.path.join(cfg.ckpt_dir, "encoders.npz") if cfg.ckpt_dir else None
+    )
+    if enc_path and os.path.exists(enc_path):
+        from .utils.checkpoint import import_encoders
+
+        params = import_encoders(enc_path, params)
+        print(f"[weights] query/mips encoders <- {enc_path}")
+    else:
+        print("[weights] no encoders.npz found; evaluating the "
+              "pretrained/seed-initialized encoders")
+    vm = _pretrain_full_kb_validation(
+        params, rcfg, pairs, cfg.retriever.eval_k
+    )
+    MetricsLogger(
+        cfg.logging.log_dir, cfg.logging.run_name + "_retriever"
+    ).log(0, vm, prefix="test_")
+    out = {f"test_{k}": float(v) for k, v in vm.items()}
+    out["n_queries"] = len(pairs["query_input_ids"])
     return out
 
 
@@ -995,10 +1060,11 @@ def main(argv=None):
         help="capture a jax profiler trace of the run into <log_dir>/trace",
     )
     p.add_argument(
-        "--mode", choices=["train", "predict"], default="train",
-        help="pretrain-retriever only: predict = top-k search dump with "
+        "--mode", choices=["train", "test", "predict"], default="train",
+        help="pretrain-retriever only: test = full-KB metrics for a saved "
+        "encoders.npz (no training); predict = top-k search dump with "
         "the exported encoders (reference `python -m sotasum.pretrain "
-        "--mode predict`)",
+        "--mode {test,predict}`)",
     )
     args = p.parse_args(argv)
 
@@ -1038,11 +1104,12 @@ def main(argv=None):
     elif args.command == "predict":
         out = run_predict(cfg, index_dir=args.index)
     elif args.command == "pretrain-retriever":
-        out = (
-            run_pretrain_retriever_predict(cfg)
-            if args.mode == "predict"
-            else run_pretrain_retriever(cfg)
-        )
+        if args.mode == "predict":
+            out = run_pretrain_retriever_predict(cfg)
+        elif args.mode == "test":
+            out = run_pretrain_retriever_test(cfg)
+        else:
+            out = run_pretrain_retriever(cfg)
     elif args.command == "build-index":
         out = run_build_index(cfg, args.out)
     elif args.command == "export":

@@ -1,4 +1,4 @@
-"""Fused Pallas kernel for the blockwise 8-bit AdamW update.
+"""Fused Pallas kernel for the blockwise 8-bit AdamW update (superleaf).
 
 Why a kernel at all: the optimizer update is a zero-FLOP, pure
 HBM-bandwidth op, and the XLA lowering of train/adam8bit.py measured
@@ -13,21 +13,28 @@ each grid step loads a [R, 128] tile of every stream into VMEM, does
 dequant -> EMA -> step -> requant entirely on-chip, and writes the
 update plus the re-quantized state back exactly once.
 
-Traffic per param (f32 grads/params, wd=0): g 4r + upd 4w + mu 1r1w +
-nu 1r1w + scales 12/128 r/w ~= 12.2 B — below the bf16-mu XLA path's 20 B
-even before counting that path's fusion-duplication overhead. The params
-stream is only materialized when weight decay is active (wd != 0 adds
-p 4r -> ~16.2 B/param); at wd == 0 the kernel takes no params operand.
+Why ONE kernel for the whole model (the superleaf): the round-4 shipped
+version ran this kernel once per parameter leaf (~250 calls/step at
+LED-base scale) and measured **4.57x roofline** — per-call launch
+overhead plus a pad-copy of every unaligned leaf's grads and updates at
+each kernel boundary dominated the streaming time. train/adam8bit.py now
+stores ALL leaves' moments in single [NB, 128] arrays (each leaf owns a
+contiguous block range) and calls this kernel exactly once per step; the
+per-block valid-element count ``nvalid`` replaces the per-leaf tail
+masks, so inter-leaf padding blocks are inert. Grad clipping rides the
+grad concat (the clip *scale* comes in as a traced scalar), so no
+separate clip pass over the grads exists either.
 
 Semantics match the train/adam8bit.py XLA composite expression-for-
 expression (same block layout, same quantizer math in the same
 association order, same jnp.round half-to-even) — parity-tested in
 tests/test_adam8bit.py both in interpret mode and, via
-tools/run_hw_measurements.sh, on hardware. Exact bitwise equality is not
-guaranteed across backends (XLA may fuse/reassociate the composite
+tools/run_hw_measurements_r5.sh, on hardware. Exact bitwise equality is
+not guaranteed across backends (XLA may fuse/reassociate the composite
 differently), so the parity test pins a tight float tolerance instead.
 The composite remains the correctness oracle, the CPU path, and the path
-under RAMDS_FORCE_XLA_OPS=1.
+under RAMDS_FORCE_XLA_OPS=1 — and it runs on the SAME superleaf layout,
+so toggling the kernel never changes the optimizer state tree.
 
 Reference context: the upstream reaches for DeepSpeedCPUAdam + ZeRO
 offload to afford Adam state (sotasum/lightning_model.py:16,
@@ -46,10 +53,6 @@ from jax.experimental import pallas as pl
 
 BLOCK = 128  # quantizer block == lane width (train/adam8bit.py BLOCK)
 
-# Leaves below this many elements stay on the XLA composite: their
-# traffic is negligible and per-kernel launch overhead would dominate.
-MIN_FUSED_SIZE = 16384
-
 
 def fused_enabled(interpret: bool | None = None) -> bool:
     """Kernel gate: TPU backend (or explicit interpret), not forced off.
@@ -63,9 +66,10 @@ def fused_enabled(interpret: bool | None = None) -> bool:
 
 
 def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
-            *refs, n, tile_rows, b1, b2, eps, wd, tiny, log_tiny, log_range):
+            nv_ref, *refs, tile_rows, b1, b2, eps, wd, tiny, log_tiny,
+            log_range):
     # params stream exists only when weight decay is active — at wd == 0
-    # the kernel reads exactly the grad/state streams (12.2 B/param).
+    # the kernel reads exactly the grad/state streams.
     if wd:
         p_ref, upd_ref, mq2_ref, ms2_ref, nq2_ref, nlo2_ref, nhi2_ref = refs
     else:
@@ -73,8 +77,9 @@ def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
     bc1 = scal_ref[0, 0]
     bc2 = scal_ref[0, 1]
     lr = scal_ref[0, 2]
+    clip = scal_ref[0, 3]  # global-norm clip scale (1.0 = no clipping)
 
-    g = g_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32) * clip
     # dequant + EMA — the exact expressions of adam8bit.dequantize_mu/_nu,
     # in the same association order (q/255*rng, NOT q*(rng/255)): fp
     # rounding differs between the two, and the parity test pins this.
@@ -92,18 +97,13 @@ def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
         step = step + wd * p_ref[...].astype(jnp.float32)
     upd_ref[...] = (-lr * step).astype(upd_ref.dtype)
 
-    # validity mask for the tail block (pad elements must not steer the
-    # per-block scales — same rule as adam8bit._valid_mask). scal[0,3] is
-    # a global row offset: 0 single-device; shard_index * rows_per_shard
-    # when the update runs per-shard under shard_map (ZeRO composition,
-    # train/adam8bit.py). Offsets are block-row counts (< 2^24 for any
-    # realistic leaf), so the f32 slot holds them exactly.
-    i = pl.program_id(0)
-    off = scal_ref[0, 3].astype(jnp.int32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, BLOCK), 0)
+    # validity mask: pad elements (leaf tails and inter-leaf pad blocks)
+    # must not steer the per-block scales — same rule as
+    # adam8bit._valid_mask, but driven by the per-block count nvalid
+    # instead of a global element index, so the superleaf layout and the
+    # ZeRO row-sharded layout use identical kernel code (no offsets).
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, BLOCK), 1)
-    idx = (off + i * tile_rows + row) * BLOCK + lane
-    mask = idx < n
+    mask = lane < nv_ref[...]
 
     # requant mu: symmetric linear int8 per block
     absmax = jnp.max(jnp.abs(jnp.where(mask, mu, 0.0)), axis=1, keepdims=True)
@@ -131,13 +131,11 @@ def _kernel(scal_ref, g_ref, mq_ref, ms_ref, nq_ref, nlo_ref, nhi_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "b1", "b2", "eps", "wd", "out_dtype",
-                     "tile_rows", "interpret", "tiny", "log_tiny",
-                     "log_range"),
+    static_argnames=("b1", "b2", "eps", "wd", "out_dtype", "tile_rows",
+                     "interpret", "tiny", "log_tiny", "log_range"),
 )
-def adam8bit_leaf_update(
-    g2, mq, ms, nq, nlo, nhi, p2, scal, *,
-    n: int,
+def adam8bit_superleaf_update(
+    g2, mq, ms, nq, nlo, nhi, nv, p2, scal, *,
     b1: float,
     b2: float,
     eps: float,
@@ -146,18 +144,21 @@ def adam8bit_leaf_update(
     tiny: float,
     log_tiny: float,
     log_range: float,
-    tile_rows: int = 512,
+    tile_rows: int = 1024,
     interpret: bool | None = None,
 ):
-    """One leaf's fused 8-bit AdamW update.
+    """The whole model's fused 8-bit AdamW update in ONE kernel call.
 
-    Args (all blocked to the quantizer layout):
-      g2   [nb, 128] grads;  mq/nq [nb, 128] int8/uint8 moments;
-      ms/nlo/nhi [nb, 1] f32 block scales;  p2 [nb, 128] params
-      (only DMA'd when wd != 0 — pass g2 as a dummy otherwise; it is
-      dropped before the pallas_call so no extra traffic occurs);
-      scal [1, 4] f32 = (bias_corr1, bias_corr2, lr, row_offset) —
-      traced scalars; row_offset is 0 except per-shard under shard_map.
+    Args (all in the superleaf blocked layout, train/adam8bit.py):
+      g2   [NB, 128] grads;  mq/nq [NB, 128] int8/uint8 moments;
+      ms/nlo/nhi [NB, 1] f32 block scales;  nv [NB, 1] int32 valid
+      element count per block (0 for pure padding blocks);
+      p2 [NB, 128] params (only DMA'd when wd != 0 — pass g2 as a dummy
+      otherwise; it is dropped before the pallas_call so no extra
+      traffic occurs);
+      scal [1, 4] f32 = (bias_corr1, bias_corr2, lr, clip_scale) —
+      traced scalars; clip_scale folds clip-by-global-norm into the
+      update (1.0 when clipping is off).
 
     Returns (upd2, mq2, ms2, nq2, nlo2, nhi2) in the same blocked layout.
     """
@@ -172,14 +173,14 @@ def adam8bit_leaf_update(
     scal_spec = pl.BlockSpec((1, 4), lambda i: (0, 0))
 
     in_specs = [scal_spec, row_spec, row_spec, col_spec, row_spec,
-                col_spec, col_spec]
-    operands = [scal, g2, mq, ms, nq, nlo, nhi]
+                col_spec, col_spec, col_spec]
+    operands = [scal, g2, mq, ms, nq, nlo, nhi, nv]
     if wd:
         in_specs.append(row_spec)
         operands.append(p2)
 
     kern = functools.partial(
-        _kernel, n=n, tile_rows=r, b1=b1, b2=b2, eps=eps, wd=wd,
+        _kernel, tile_rows=r, b1=b1, b2=b2, eps=eps, wd=wd,
         tiny=tiny, log_tiny=log_tiny, log_range=log_range)
     return pl.pallas_call(
         kern,

@@ -1,8 +1,9 @@
-"""Blockwise 8-bit AdamW: int8/uint8 moment storage, f32 math.
+"""Blockwise 8-bit AdamW: int8/uint8 moment storage, f32 math, ONE
+superleaf layout for the whole model.
 
 The optimizer update is a zero-FLOP, pure-HBM-bandwidth phase (measured
 10.6 ms of a 41.4 ms B=2 train step, artifacts/train_phase_breakdown.json;
-the update itself runs at ~1.3x the HBM roofline,
+the bf16-mu update runs at ~1.3-1.5x the HBM roofline,
 artifacts/opt_update_bench.jsonl). Its cost is exactly the bytes moved per
 parameter, so the lever is state width. The reference reaches for
 DeepSpeedCPUAdam + ZeRO offload to fit Adam moments at all
@@ -15,6 +16,22 @@ is to shrink the moments to 8 bits and keep them in HBM:
 
 plus ~6 bytes/param of HBM *capacity* freed (~1.6 GB on the 268M-param RAG
 model) — headroom that directly attacks the B=16 HBM-pressure regression.
+
+Superleaf layout (round 5; the round-4 per-leaf layout measured 4.57x
+roofline): ALL leaves' moments live in single ``[NB, 128]`` arrays —
+each leaf owns a contiguous, block-aligned range of rows, assigned in
+``tree_flatten`` order; a per-block ``nvalid`` element count (int32
+[NB, 1], part of the state) marks leaf-tail and inter-leaf padding as
+inert. The whole model's update is then ONE streaming pass — a single
+Pallas kernel call on TPU (ops/adam8bit_update.py) instead of ~250
+per-leaf launches with pad copies at every kernel boundary, and the XLA
+composite oracle runs on the same superarrays. Grad clipping rides the
+grads concat: the global norm reduces out of the concat pass and enters
+the kernel as a scalar scale, so no separate clip pass over the grads
+exists (build_optimizer routes ``grad_clip`` here when state_8bit).
+``NB`` is rounded up to a multiple of the mesh's ``data``-axis size at
+init, so the ZeRO composition is one row-sharded shard_map with no
+runtime padding.
 
 Quantization (per 128-element block, following the blockwise scheme of
 Dettmers et al., "8-bit Optimizers via Block-wise Quantization", but with
@@ -33,10 +50,6 @@ TPU-friendly analytic codes instead of a lookup codebook):
   step size), independent of the block's dynamic range. Elements clamped
   at ``hi - 40`` have sqrt(nu) at or below Adam's eps scale.
 
-Quant/dequant are elementwise VPU ops + a per-block reduction; XLA fuses
-them into the single HBM pass over the state, so the arithmetic is free
-relative to the traffic it saves.
-
 Semantics match ``optax.adamw`` (scale_by_adam + add_decayed_weights +
 scale_by_learning_rate): bias correction at count+1, schedule evaluated at
 the pre-increment count, decoupled weight decay added before the lr scale.
@@ -49,6 +62,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 BLOCK = 128  # lane width; per-block scales cost 4/128 B/param per scale
@@ -61,15 +75,17 @@ _LOG_TINY = math.log2(_TINY)
 
 
 class Adam8bitState(NamedTuple):
-    """Optax state. ``mu_q``/``nu_q`` etc. are pytrees mirroring params;
-    every leaf is blocked to [n_blocks, BLOCK] (param flattened + padded)."""
+    """Optax state in the superleaf layout: single blocked arrays holding
+    every leaf's moments back to back (leaf order = tree_flatten order,
+    each leaf padded up to a block boundary)."""
 
     count: jnp.ndarray  # int32 scalar
-    mu_q: Any  # int8 [nb, BLOCK]
-    mu_scale: Any  # f32 [nb, 1]
-    nu_q: Any  # uint8 [nb, BLOCK]
-    nu_lo: Any  # f32 [nb, 1], log2 domain
-    nu_hi: Any  # f32 [nb, 1], log2 domain
+    mu_q: jnp.ndarray  # int8 [NB, BLOCK]
+    mu_scale: jnp.ndarray  # f32 [NB, 1]
+    nu_q: jnp.ndarray  # uint8 [NB, BLOCK]
+    nu_lo: jnp.ndarray  # f32 [NB, 1], log2 domain
+    nu_hi: jnp.ndarray  # f32 [NB, 1], log2 domain
+    nvalid: jnp.ndarray  # int32 [NB, 1], valid elements per block (0=pad)
 
 
 def _blocked_shape(n: int) -> tuple[int, int]:
@@ -112,7 +128,7 @@ def quantize_nu(nu: jnp.ndarray, mask: jnp.ndarray):
     log = jnp.log2(jnp.maximum(nu, _TINY))
     log = jnp.where(mask, log, _LOG_TINY)
     hi = jnp.max(jnp.where(mask, log, -jnp.inf), axis=1, keepdims=True)
-    hi = jnp.maximum(hi, _LOG_TINY)  # all-pad rows can't occur; all-zero can
+    hi = jnp.maximum(hi, _LOG_TINY)  # all-pad rows CAN occur (superleaf pad)
     lo = jnp.min(jnp.where(mask, log, jnp.inf), axis=1, keepdims=True)
     lo = jnp.clip(lo, hi - _LOG_RANGE, hi)
     rng = jnp.maximum(hi - lo, 1e-6)
@@ -128,46 +144,57 @@ def dequantize_nu(q: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray):
     return nu
 
 
-def _sharded_leaf_update(gb, mq, ms, nq, nlo, nhi, pb, scal, *, mesh, axis,
-                         update_fn, **kw):
-    """Run the fused kernel per-shard under ``shard_map`` so ZeRO-sharded
-    optimizer state never gathers: rows are padded to a shard multiple
-    (appended pad rows land in the LAST shard, where their global indices
-    are >= n and the kernel's validity mask neutralizes them), each shard
-    passes its global row offset through scal[0,3], and pad rows are
-    sliced off the outputs. The param-shaped update the caller reshapes
-    is row-sharded here; GSPMD all-gathers it at the apply site — exactly
-    the ZeRO-2 gather point."""
-    from jax.sharding import PartitionSpec as P
+def _layout(leaves, n_shards: int):
+    """Per-leaf (n, nb) plus the padded superleaf row count NB (a multiple
+    of ``n_shards`` so the ZeRO shard_map needs no runtime padding)."""
+    sizes = [int(x.size) for x in leaves]
+    nbs = [-(-n // BLOCK) for n in sizes]
+    nb_total = sum(nbs)
+    nb_padded = -(-max(nb_total, 1) // n_shards) * n_shards
+    return sizes, nbs, nb_total, nb_padded
 
-    shard_map = jax.shard_map
 
-    ax = int(mesh.shape[axis])
-    nb = gb.shape[0]
-    nb_pad = -(-nb // ax) * ax
-    pad = nb_pad - nb
+def _nvalid_for(sizes, nbs, nb_padded) -> np.ndarray:
+    """int32 [NB, 1]: 128 for full blocks, n % 128 for leaf tails, 0 for
+    the inter-leaf / shard padding rows."""
+    nv = np.zeros((nb_padded, 1), np.int32)
+    off = 0
+    for n, nb in zip(sizes, nbs):
+        nv[off:off + nb] = BLOCK
+        tail = n % BLOCK
+        if tail:
+            nv[off + nb - 1] = tail
+        off += nb
+    return nv
 
-    def padrow(x):
-        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
-    args = tuple(padrow(x) for x in (gb, mq, ms, nq, nlo, nhi, pb))
-    nb_loc = nb_pad // ax
+def _concat_blocks(leaves, nb_padded: int) -> jnp.ndarray:
+    """Flatten + block-pad each leaf, stack into one [NB, 128] f32 array.
+    One read of the leaves + one write of the superarray; XLA fuses the
+    per-leaf pad/reshape into the concat copy."""
+    parts = []
+    rows = 0
+    for x in leaves:
+        b = _to_blocks(x)
+        rows += b.shape[0]
+        parts.append(b)
+    if rows < nb_padded:
+        parts.append(jnp.zeros((nb_padded - rows, BLOCK), jnp.float32))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
-    def shard_fn(gb, mq, ms, nq, nlo, nhi, pb, scal):
-        off = jax.lax.axis_index(axis) * nb_loc
-        scal = scal.at[0, 3].set(off.astype(jnp.float32))
-        return update_fn(gb, mq, ms, nq, nlo, nhi, pb, scal, **kw)
 
-    row = P(axis, None)
-    out = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(row,) * 7 + (P(None, None),),
-        out_specs=(row,) * 6,
-        check_vma=False,
-    )(*args, scal)
-    if pad:
-        out = tuple(x[:nb] for x in out)
-    return out
+def _split_updates(upd, leaves_p, nbs, lr=None):
+    """Slice the superleaf update back into param-shaped leaves (fused
+    into the apply pass by XLA — the slices never materialize twice)."""
+    outs = []
+    off = 0
+    for p, nb in zip(leaves_p, nbs):
+        u = upd[off:off + nb].reshape(-1)[: int(p.size)].reshape(p.shape)
+        if lr is not None:  # composite path: -lr folded here
+            u = -lr * u
+        outs.append(u.astype(p.dtype))
+        off += nb
+    return outs
 
 
 def adamw8bit(
@@ -176,51 +203,50 @@ def adamw8bit(
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    grad_clip: float | None = None,
     fused: bool = True,
     mesh=None,
     shard_axis: str = "data",
 ) -> optax.GradientTransformation:
-    """Drop-in for ``optax.adamw`` with blockwise 8-bit moment storage.
+    """Drop-in for ``optax.adamw`` with blockwise 8-bit moment storage in
+    the superleaf layout.
 
-    ``fused=True`` (default) routes large leaves through the single-pass
-    Pallas kernel (ops/adam8bit_update.py) on TPU — the XLA lowering of
-    the quantizer reductions runs at 3.76x the HBM roofline, the kernel
-    at ~1x. The XLA composite below remains the oracle, the CPU path,
-    and the path under RAMDS_FORCE_XLA_OPS=1.
+    ``grad_clip`` folds clip-by-global-norm into the update: the norm is
+    a reduction over the blocked-grads superarray (fused into the concat
+    pass by XLA) and the clip enters the kernel as a scalar scale — the
+    separate optax clip pass (one full grads read+write) disappears.
+    Semantics match ``optax.chain(clip_by_global_norm(c), adamw8bit(...))``
+    up to f32 summation order in the norm.
+
+    ``fused=True`` (default) routes the whole superleaf through ONE
+    Pallas kernel call on TPU (ops/adam8bit_update.py). The XLA composite
+    below runs on the same superarrays and remains the oracle, the CPU
+    path, and the path under RAMDS_FORCE_XLA_OPS=1.
 
     ``mesh`` composes the fused kernel with ZeRO-sharded optimizer state:
     a bare pallas_call is not SPMD-partitioned (XLA would gather the
     sharded state to run it), so when a mesh with >1 device on
-    ``shard_axis`` is given, each leaf's blocked arrays are padded to a
-    shard multiple and the kernel runs per-shard under ``shard_map`` —
-    the state stays sharded, each chip streams only its rows, and the
-    param-shaped update is re-gathered by GSPMD exactly where ZeRO-2
-    gathers it. Single-device semantics are identical (parity-tested)."""
+    ``shard_axis`` is given, NB is padded to a shard multiple at init and
+    the kernel runs per-shard under ``shard_map`` — the state stays
+    sharded, each chip streams only its rows (``nvalid`` shards along),
+    and the param-shaped update is re-gathered by GSPMD exactly where
+    ZeRO-2 gathers it. Single-device semantics are identical
+    (parity-tested)."""
 
     sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+    n_shards = int(mesh.shape.get(shard_axis, 1)) if mesh is not None else 1
 
     def init(params):
-        def zeros_like_blocked(p, dtype):
-            nb, _ = _blocked_shape(int(p.size))
-            return jnp.zeros((nb, BLOCK), dtype)
-
-        def scale_like(p, fill):
-            nb, _ = _blocked_shape(int(p.size))
-            return jnp.full((nb, 1), fill, jnp.float32)
-
-        log_tiny = _LOG_TINY
+        leaves = jax.tree_util.tree_leaves(params)
+        sizes, nbs, _, nb = _layout(leaves, n_shards)
         return Adam8bitState(
             count=jnp.zeros((), jnp.int32),
-            mu_q=jax.tree_util.tree_map(
-                lambda p: zeros_like_blocked(p, jnp.int8), params),
-            mu_scale=jax.tree_util.tree_map(
-                lambda p: scale_like(p, 0.0), params),
-            nu_q=jax.tree_util.tree_map(
-                lambda p: zeros_like_blocked(p, jnp.uint8), params),
-            nu_lo=jax.tree_util.tree_map(
-                lambda p: scale_like(p, log_tiny), params),
-            nu_hi=jax.tree_util.tree_map(
-                lambda p: scale_like(p, log_tiny), params),
+            mu_q=jnp.zeros((nb, BLOCK), jnp.int8),
+            mu_scale=jnp.zeros((nb, 1), jnp.float32),
+            nu_q=jnp.zeros((nb, BLOCK), jnp.uint8),
+            nu_lo=jnp.full((nb, 1), _LOG_TINY, jnp.float32),
+            nu_hi=jnp.full((nb, 1), _LOG_TINY, jnp.float32),
+            nvalid=jnp.asarray(_nvalid_for(sizes, nbs, nb)),
         )
 
     def update(grads, state, params=None):
@@ -234,89 +260,84 @@ def adamw8bit(
 
         leaves_p, treedef = jax.tree_util.tree_flatten(params)
         leaves_g = treedef.flatten_up_to(grads)
-        leaves_mq = treedef.flatten_up_to(state.mu_q)
-        leaves_ms = treedef.flatten_up_to(state.mu_scale)
-        leaves_nq = treedef.flatten_up_to(state.nu_q)
-        leaves_nlo = treedef.flatten_up_to(state.nu_lo)
-        leaves_nhi = treedef.flatten_up_to(state.nu_hi)
+        sizes, nbs, _, nb = _layout(leaves_p, n_shards)
+        if nb != state.mu_q.shape[0]:
+            raise ValueError(
+                f"superleaf row count {nb} != state {state.mu_q.shape[0]} "
+                "(params structure or mesh changed since init)")
+
+        g2 = _concat_blocks(leaves_g, nb)
+        if grad_clip:
+            # pad rows are zero, so the superarray norm == the tree norm
+            # (optax.global_norm) up to summation order
+            gnorm = jnp.sqrt(jnp.sum(g2 * g2))
+            clip = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-30))
+        else:
+            clip = jnp.float32(1.0)
 
         use_fused = False
         if fused:
             from ..ops.adam8bit_update import (
-                MIN_FUSED_SIZE,
-                adam8bit_leaf_update,
+                adam8bit_superleaf_update,
                 fused_enabled,
             )
 
             use_fused = fused_enabled()
-        n_shards = (
-            int(mesh.shape.get(shard_axis, 1)) if mesh is not None else 1
-        )
-        scal = None
+
         if use_fused:
-            zero = jnp.zeros((), jnp.float32)  # row offset (per-shard)
-            scal = jnp.stack([bc1, bc2, lr, zero]).astype(jnp.float32)
+            p2 = (
+                _concat_blocks(leaves_p, nb) if weight_decay else g2
+            )  # dummy when wd == 0 (dropped before the pallas_call)
+            scal = jnp.stack([bc1, bc2, lr, clip]).astype(jnp.float32)
             scal = scal.reshape(1, 4)
+            kw = dict(
+                b1=b1, b2=b2, eps=eps, wd=float(weight_decay),
+                out_dtype=jnp.float32,
+                tiny=_TINY, log_tiny=_LOG_TINY, log_range=_LOG_RANGE,
+            )
+            if n_shards > 1:
+                from jax.sharding import PartitionSpec as P
 
-        upds, mqs, mss, nqs, nlos, nhis = [], [], [], [], [], []
-        for p, g, mq, ms, nq, nlo, nhi in zip(
-            leaves_p, leaves_g, leaves_mq, leaves_ms, leaves_nq,
-            leaves_nlo, leaves_nhi,
-        ):
-            n = int(p.size)
-            gb = _to_blocks(g)
-            if use_fused and n >= MIN_FUSED_SIZE:
-                pb = _to_blocks(p) if weight_decay else gb  # dummy if no wd
-                kw = dict(
-                    n=n, b1=b1, b2=b2, eps=eps,
-                    wd=float(weight_decay),
-                    out_dtype=jnp.dtype(p.dtype),
-                    tiny=_TINY, log_tiny=_LOG_TINY, log_range=_LOG_RANGE,
-                )
-                if n_shards > 1:
-                    upd, q, s, qn, lo, hi = _sharded_leaf_update(
-                        gb, mq, ms, nq, nlo, nhi, pb, scal,
-                        mesh=mesh, axis=shard_axis,
-                        update_fn=adam8bit_leaf_update, **kw,
-                    )
-                else:
-                    upd, q, s, qn, lo, hi = adam8bit_leaf_update(
-                        gb, mq, ms, nq, nlo, nhi, pb, scal, **kw,
-                    )
-                upds.append(upd.reshape(-1)[:n].reshape(p.shape))
-                mqs.append(q)
-                mss.append(s)
-                nqs.append(qn)
-                nlos.append(lo)
-                nhis.append(hi)
-                continue
-            mask = _valid_mask(n)
-            mu = b1 * dequantize_mu(mq, ms) + (1.0 - b1) * gb
-            nu = b2 * dequantize_nu(nq, nlo, nhi) + (1.0 - b2) * gb * gb
-            mhat = mu / bc1
-            nuhat = nu / bc2
-            step = mhat / (jnp.sqrt(nuhat) + eps)
-            step = step.reshape(-1)[:n].reshape(p.shape)
+                row = P(shard_axis, None)
+
+                def shard_fn(g2, mq, ms, nq, nlo, nhi, nv, p2, scal):
+                    return adam8bit_superleaf_update(
+                        g2, mq, ms, nq, nlo, nhi, nv, p2, scal, **kw)
+
+                upd, mq2, ms2, nq2, nlo2, nhi2 = jax.shard_map(
+                    shard_fn, mesh=mesh,
+                    in_specs=(row,) * 8 + (P(None, None),),
+                    out_specs=(row,) * 6,
+                    check_vma=False,
+                )(g2, state.mu_q, state.mu_scale, state.nu_q,
+                  state.nu_lo, state.nu_hi, state.nvalid, p2, scal)
+            else:
+                upd, mq2, ms2, nq2, nlo2, nhi2 = adam8bit_superleaf_update(
+                    g2, state.mu_q, state.mu_scale, state.nu_q,
+                    state.nu_lo, state.nu_hi, state.nvalid, p2, scal, **kw)
+            upds = _split_updates(upd, leaves_p, nbs)
+        else:
+            # XLA composite oracle — same superarrays, same expressions
+            # in the same association order as the kernel.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, BLOCK), 1)
+            mask = lane < state.nvalid
+            g = g2 * clip
+            mu = b1 * dequantize_mu(state.mu_q, state.mu_scale) + (1.0 - b1) * g
+            nu = (
+                b2 * dequantize_nu(state.nu_q, state.nu_lo, state.nu_hi)
+                + (1.0 - b2) * g * g
+            )
+            step = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
             if weight_decay:
-                step = step + weight_decay * p.astype(jnp.float32)
-            upds.append((-lr * step).astype(p.dtype))
-            q, s = quantize_mu(mu, mask)
-            mqs.append(q)
-            mss.append(s)
-            q, lo, hi = quantize_nu(nu, mask)
-            nqs.append(q)
-            nlos.append(lo)
-            nhis.append(hi)
+                step = step + weight_decay * _concat_blocks(leaves_p, nb)
+            upds = _split_updates(step, leaves_p, nbs, lr=lr)
+            mq2, ms2 = quantize_mu(mu, mask)
+            nq2, nlo2, nhi2 = quantize_nu(nu, mask)
 
-        unflat = jax.tree_util.tree_unflatten
         new_state = Adam8bitState(
-            count=c,
-            mu_q=unflat(treedef, mqs),
-            mu_scale=unflat(treedef, mss),
-            nu_q=unflat(treedef, nqs),
-            nu_lo=unflat(treedef, nlos),
-            nu_hi=unflat(treedef, nhis),
+            count=c, mu_q=mq2, mu_scale=ms2, nu_q=nq2, nu_lo=nlo2,
+            nu_hi=nhi2, nvalid=state.nvalid,
         )
-        return unflat(treedef, upds), new_state
+        return jax.tree_util.tree_unflatten(treedef, upds), new_state
 
     return optax.GradientTransformation(init, update)

@@ -73,25 +73,28 @@ def build_optimizer(
     for the reference-faithful all-f32 state.
 
     ``state_8bit`` swaps adamw for the blockwise-quantized 8-bit variant
-    (train/adam8bit.py): int8 mu + log2-affine uint8 nu, per-128 f32
-    scales — ~33% less optimizer HBM traffic and ~6 B/param of capacity
-    freed. Overrides ``mu_dtype``. With ``mesh`` (>1 device on ``data``),
-    the fused kernel runs per-shard under shard_map so ZeRO-sharded
-    state stays sharded (train/adam8bit._sharded_leaf_update)."""
+    (train/adam8bit.py): int8 mu + log2-affine uint8 nu in ONE superleaf
+    layout — ~33% less optimizer HBM traffic and ~6 B/param of capacity
+    freed. Overrides ``mu_dtype``. ``grad_clip`` folds into the 8-bit
+    update itself (the norm rides the blocked-grads concat; no separate
+    clip pass). With ``mesh`` (>1 device on ``data``), the fused kernel
+    runs row-sharded under shard_map so ZeRO-sharded state stays
+    sharded."""
     import jax.numpy as jnp
 
     sched = linear_warmup_schedule(lr, warmup_steps, total_steps)
     chain = []
-    if grad_clip:
-        chain.append(optax.clip_by_global_norm(grad_clip))
     if state_8bit:
         from ..parallel.mesh import DATA_AXIS
         from .adam8bit import adamw8bit
 
         chain.append(adamw8bit(sched, weight_decay=weight_decay,
+                               grad_clip=grad_clip,
                                fused=state_8bit_fused, mesh=mesh,
                                shard_axis=DATA_AXIS))
     else:
+        if grad_clip:
+            chain.append(optax.clip_by_global_norm(grad_clip))
         chain.append(optax.adamw(
             sched, weight_decay=weight_decay,
             mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..index.flat import build_flat_index
 from ..models.longformer import longformer_encode
 from ..models.retriever_generator import (
     MemoryStore,
@@ -66,8 +65,13 @@ class TrainHyper:
     grad_clip: float | None = 0.1
     weight_decay: float = 0.0
     accumulate_steps: int = 1
-    mips_rebuild_every: int = 650  # no_mips.yaml:114
     frozen_groups: tuple[str, ...] = ()  # mips_freezed etc.
+    # Step-interval checkpointing: save the train state every N steps
+    # regardless of eval wins (crash insurance the reference gets from
+    # Lightning's per-epoch ModelCheckpoint, config/no_mips.yaml:27-33).
+    # 0 = only the rouge1-monitored best checkpoint. Periodic saves never
+    # prune the best-marked checkpoint (utils/checkpoint.py).
+    save_every: int = 0
     # gradient checkpointing (model_config.py:35): False | True ("full")
     # | a jax.checkpoint_policies name, e.g.
     # "dots_with_no_batch_dims_saveable" (keep matmul outputs, recompute
@@ -255,50 +259,105 @@ def encode_corpus(
     return jnp.concatenate(outs, axis=0)[:n]
 
 
+def build_memory_store(
+    params,
+    model_cfg: RAGConfig,
+    index_cfg,
+    *,
+    token_ids: jax.Array,
+    token_mask: jax.Array,
+    row_aids=None,
+    mesh=None,
+    seed: int = 0,
+    compute_dtype=jnp.float32,
+    batch_size: int | None = None,
+) -> MemoryStore:
+    """THE memory-store build path: embed the tokenized corpus under the
+    current mips encoder and build the configured index. The initial
+    build (cli.build_store) and the train-time refresh (refresh_store)
+    both land here, so precision/factory/train_size cannot drift between
+    them — a refresh is bit-identical to a fresh build under equal params
+    (reference rebuild protocol, SURVEY.md §3.2).
+
+    ``index_cfg`` is duck-typed (utils.config.IndexConfig or any object
+    with factory/metric/normalize/nprobe/train_size/dtype)."""
+    from ..index import build_index_from_factory
+
+    idx_dtype = index_cfg.dtype
+    if idx_dtype == "bfloat16":
+        idx_dtype = jnp.bfloat16
+    elif idx_dtype in ("float32", "f32"):
+        idx_dtype = jnp.float32
+    # "int8" passes through: build_flat_index SQ-quantizes the payload
+    emb = encode_corpus(
+        params["mips_encoder"], model_cfg.mips_enc, token_ids, token_mask,
+        batch_size=batch_size or min(64, token_ids.shape[0]),
+        dtype=compute_dtype, mesh=mesh,
+    )
+    index = build_index_from_factory(
+        emb, index_cfg.factory, metric=index_cfg.metric,
+        normalize=index_cfg.normalize, dtype=idx_dtype, mesh=mesh,
+        train_size=index_cfg.train_size, seed=seed,
+    )
+    return MemoryStore(
+        index=index, token_ids=token_ids, token_mask=token_mask,
+        row_aids=row_aids, nprobe=index_cfg.nprobe,
+    )
+
+
+def _index_cfg_from_store(store: MemoryStore):
+    """Reconstruct the factory knobs an existing store was built with, so
+    a refresh without an explicit IndexConfig still routes through
+    build_memory_store with equal settings."""
+    import types
+
+    from ..index.flat import FlatIndex
+
+    idx = store.index
+    if isinstance(idx, FlatIndex):
+        factory = "Flat"
+        dtype = (
+            "int8" if idx.row_scale is not None else str(idx.embeddings.dtype)
+        )
+    else:
+        payload = "SQ8" if idx.clustered_scale is not None else "Flat"
+        factory = f"IVF{idx.n_clusters},{payload}"
+        dtype = str(idx.clustered.dtype)
+    return types.SimpleNamespace(
+        factory=factory, metric=idx.metric, normalize=idx.normalized,
+        nprobe=store.nprobe, train_size=None, dtype=dtype,
+    )
+
+
 def refresh_store(
     params,
     cfg: RAGConfig,
     store: MemoryStore,
     *,
+    index_cfg=None,
     mesh=None,
     batch_size: int = 64,
     dtype=jnp.float32,
+    seed: int = 0,
 ) -> MemoryStore:
     """Rebuild the index under the current mips encoder weights — the
     whole of SURVEY.md §3.2 as one function. Returns the NEW buffer; the
-    caller swaps pointers (double buffering)."""
+    caller swaps pointers (double buffering). Delegates to
+    build_memory_store (the cli.build_store path); pass ``index_cfg`` to
+    pin factory/train_size explicitly, else they are recovered from the
+    existing store."""
     n = store.index.n
-    emb = encode_corpus(
-        params["mips_encoder"], cfg.mips_enc,
-        store.token_ids[:n], store.token_mask[:n],
-        batch_size=batch_size, dtype=dtype, mesh=mesh,
+    new = build_memory_store(
+        params, cfg, index_cfg or _index_cfg_from_store(store),
+        token_ids=store.token_ids[:n], token_mask=store.token_mask[:n],
+        row_aids=store.row_aids, mesh=mesh, seed=seed,
+        compute_dtype=dtype, batch_size=batch_size,
     )
-    from ..index.flat import FlatIndex
-    from ..index.ivf import build_ivf_index
-
-    if isinstance(store.index, FlatIndex):
-        payload = (
-            "int8" if store.index.row_scale is not None
-            else store.index.embeddings.dtype
-        )
-        index = build_flat_index(
-            emb,
-            metric=store.index.metric,
-            normalize=store.index.normalized,
-            dtype=payload,
-            mesh=mesh,
-        )
-    else:
-        index = build_ivf_index(
-            emb, store.index.n_clusters,
-            metric=store.index.metric,
-            normalize=store.index.normalized,
-            dtype=store.index.clustered.dtype,
-        )
+    # keep the ORIGINAL (possibly padded) token arrays: the swapped-in
+    # store must be shape-identical to the old one or the jitted train
+    # step would recompile on the pointer swap
     return MemoryStore(
-        index=index,
-        token_ids=store.token_ids,
-        token_mask=store.token_mask,
-        row_aids=store.row_aids,
+        index=new.index, token_ids=store.token_ids,
+        token_mask=store.token_mask, row_aids=store.row_aids,
         nprobe=store.nprobe,
     )

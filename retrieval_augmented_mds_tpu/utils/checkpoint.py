@@ -78,14 +78,24 @@ def load_pytree(path: str, like: Any) -> Any:
 
 def save_train_state(ckpt_dir: str, state, step: int, keep: int = 1) -> str:
     """Write ``ckpt_dir/step_<N>.npz`` (+ meta); prune old checkpoints
-    (reference save_top_k=1, no_mips.yaml:27-33)."""
+    (reference save_top_k=1, no_mips.yaml:27-33). ``latest.json`` always
+    points at the newest save (the crash-resume anchor for
+    train.save_every periodic saves); a checkpoint marked via
+    ``mark_best`` is never pruned, so the rouge1-monitored best survives
+    later periodic saves."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}.npz")
     save_pytree(path, state)
     with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
         json.dump({"step": step, "path": path}, f)
+    protected = set()
+    best_meta = os.path.join(ckpt_dir, "best.json")
+    if os.path.exists(best_meta):
+        with open(best_meta) as f:
+            protected.add(os.path.basename(json.load(f)["path"]))
     existing = sorted(
-        (p for p in os.listdir(ckpt_dir) if p.startswith("step_")),
+        (p for p in os.listdir(ckpt_dir)
+         if p.startswith("step_") and p not in protected),
         key=lambda p: int(p.split("_")[1].split(".")[0]),
     )
     for old in existing[:-keep]:
@@ -93,8 +103,22 @@ def save_train_state(ckpt_dir: str, state, step: int, keep: int = 1) -> str:
     return path
 
 
-def load_train_state(ckpt_dir: str, like) -> tuple[Any, int]:
-    with open(os.path.join(ckpt_dir, "latest.json")) as f:
+def mark_best(ckpt_dir: str, step: int, path: str, metric: float | None = None):
+    """Record the best-metric checkpoint (the reference's
+    monitor='rouge1' ModelCheckpoint selection); protects it from the
+    keep-N prune of subsequent periodic saves."""
+    with open(os.path.join(ckpt_dir, "best.json"), "w") as f:
+        json.dump({"step": step, "path": path, "metric": metric}, f)
+
+
+def load_train_state(ckpt_dir: str, like, prefer: str = "latest") -> tuple[Any, int]:
+    """``prefer='latest'`` resumes training from the newest save;
+    ``prefer='best'`` loads the rouge1-monitored best when one was
+    marked (evaluation use), falling back to latest."""
+    meta_name = "latest.json"
+    if prefer == "best" and os.path.exists(os.path.join(ckpt_dir, "best.json")):
+        meta_name = "best.json"
+    with open(os.path.join(ckpt_dir, meta_name)) as f:
         meta = json.load(f)
     return load_pytree(meta["path"], like), meta["step"]
 

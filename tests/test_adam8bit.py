@@ -187,25 +187,29 @@ def test_rag_train_step_with_8bit_state_decreases_loss():
     assert losses[-1] < losses[0], losses
 
 
-def test_fused_kernel_matches_xla_composite_per_leaf():
+def test_fused_kernel_matches_xla_composite_superleaf():
     """ops/adam8bit_update.py (interpret mode) vs the XLA composite, on a
-    leaf with a partial tail block and non-trivial prior state, with and
+    two-leaf superleaf with partial tail blocks (leaf tails AND the leaf
+    boundary inside the superarray) and non-trivial prior state, with and
     without weight decay."""
     from retrieval_augmented_mds_tpu.ops.adam8bit_update import (
-        adam8bit_leaf_update,
+        adam8bit_superleaf_update,
     )
     from retrieval_augmented_mds_tpu.train.adam8bit import (
         _LOG_RANGE,
         _LOG_TINY,
         _TINY,
-        _to_blocks,
+        _concat_blocks,
+        _layout,
     )
 
     rng = np.random.default_rng(5)
-    n = 16384 + 70  # forces a masked tail block
-    p = {"w": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)}
-    g1 = {"w": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.01)}
-    g2 = {"w": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.01)}
+    sizes = {"a": 16384 + 70, "b": 300}  # both leaves end mid-block
+    mk = lambda s: {
+        k: jnp.asarray(rng.standard_normal(n).astype(np.float32) * s)
+        for k, n in sizes.items()
+    }
+    p, g1, g2 = mk(0.1), mk(0.01), mk(0.01)
     b1, b2, eps, lr = 0.9, 0.999, 1e-8, 1e-3
 
     for wd in (0.0, 0.02):
@@ -222,35 +226,72 @@ def test_fused_kernel_matches_xla_composite_per_leaf():
         c = jnp.asarray(2, jnp.int32).astype(jnp.float32)
         scal = jnp.stack(
             [1.0 - b1 ** c, 1.0 - b2 ** c, jnp.float32(lr),
-             jnp.float32(0.0)]).reshape(1, 4)
-        gb = _to_blocks(g2["w"])
-        pb = _to_blocks(p["w"]) if wd else gb
-        upd, mq, ms, nq, nlo, nhi = adam8bit_leaf_update(
-            gb, s1.mu_q["w"], s1.mu_scale["w"], s1.nu_q["w"],
-            s1.nu_lo["w"], s1.nu_hi["w"], pb, scal,
-            n=n, b1=b1, b2=b2, eps=eps, wd=wd, out_dtype=jnp.float32,
+             jnp.float32(1.0)]).reshape(1, 4)
+        leaves_p = jax.tree_util.tree_leaves(p)
+        _, nbs, _, nb = _layout(leaves_p, 1)
+        gb = _concat_blocks(jax.tree_util.tree_leaves(g2), nb)
+        pb = _concat_blocks(leaves_p, nb) if wd else gb
+        upd, mq, ms, nq, nlo, nhi = adam8bit_superleaf_update(
+            gb, s1.mu_q, s1.mu_scale, s1.nu_q, s1.nu_lo, s1.nu_hi,
+            s1.nvalid, pb, scal,
+            b1=b1, b2=b2, eps=eps, wd=wd, out_dtype=jnp.float32,
             tiny=_TINY, log_tiny=_LOG_TINY, log_range=_LOG_RANGE,
             interpret=True,
         )
-        np.testing.assert_allclose(
-            np.asarray(upd).reshape(-1)[:n], np.asarray(u_ref["w"]),
-            rtol=1e-6, atol=1e-9)
+        off = 0
+        for leaf, nb_i in zip(
+            jax.tree_util.tree_leaves(u_ref), nbs
+        ):
+            got = np.asarray(upd[off:off + nb_i]).reshape(-1)[: leaf.size]
+            np.testing.assert_allclose(got, np.asarray(leaf).reshape(-1),
+                                       rtol=1e-6, atol=1e-9)
+            off += nb_i
         # quantized ints: same math in the same order -> at most an
         # off-by-one from fp association differences, and rarely
         assert np.max(np.abs(
-            np.asarray(mq, np.int32) - np.asarray(s2.mu_q["w"], np.int32)
+            np.asarray(mq, np.int32) - np.asarray(s2.mu_q, np.int32)
         )) <= 1
         assert np.max(np.abs(
-            np.asarray(nq, np.int32) - np.asarray(s2.nu_q["w"], np.int32)
+            np.asarray(nq, np.int32) - np.asarray(s2.nu_q, np.int32)
         )) <= 1
         np.testing.assert_allclose(np.asarray(ms),
-                                   np.asarray(s2.mu_scale["w"]), rtol=1e-6)
+                                   np.asarray(s2.mu_scale), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(nlo),
-                                   np.asarray(s2.nu_lo["w"]), rtol=1e-5,
+                                   np.asarray(s2.nu_lo), rtol=1e-5,
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(nhi),
-                                   np.asarray(s2.nu_hi["w"]), rtol=1e-5,
+                                   np.asarray(s2.nu_hi), rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_grad_clip_folds_into_update():
+    """adamw8bit(grad_clip=c) == optax.chain(clip_by_global_norm(c),
+    adamw8bit()) up to f32 summation order in the norm — over a 3-step
+    trajectory where the clip actually triggers (big grads) and one step
+    where it doesn't (small grads)."""
+    rng = np.random.default_rng(9)
+    params = {
+        "w": jnp.asarray(rng.standard_normal(1000).astype(np.float32)),
+        "v": jnp.asarray(rng.standard_normal(140).astype(np.float32)),
+    }
+    tx_in = adamw8bit(1e-2, weight_decay=0.01, grad_clip=0.1, fused=False)
+    tx_ch = optax.chain(
+        optax.clip_by_global_norm(0.1),
+        adamw8bit(1e-2, weight_decay=0.01, fused=False),
+    )
+    si, sc = tx_in.init(params), tx_ch.init(params)
+    pi, pc = params, params
+    scales = (5.0, 1e-4, 2.0)  # trigger, no-trigger, trigger
+    for s in scales:
+        g = jax.tree_util.tree_map(lambda x: x * s, params)
+        ui, si = tx_in.update(g, si, pi)
+        uc, sc = tx_ch.update(g, sc, pc)
+        pi = optax.apply_updates(pi, ui)
+        pc = optax.apply_updates(pc, uc)
+    for a, b in zip(jax.tree_util.tree_leaves(pi),
+                    jax.tree_util.tree_leaves(pc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
 
 
 def test_fused_kernel_composes_with_zero_sharding(monkeypatch):

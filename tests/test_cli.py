@@ -199,3 +199,116 @@ def test_fit_with_target_in_memory_forcing(tmp_path):
     )
     out = run_fit(cfg)
     assert out["steps"] == 2
+
+
+@pytest.mark.slow
+def test_crash_resume_bit_compatible(tmp_path):
+    """train.save_every periodic checkpoints + deterministic per-step
+    batch schedule: a run killed between saves and resumed from the last
+    periodic checkpoint must land on EXACTLY the state of a run that was
+    never interrupted (8-bit Adam state included). The reference gets
+    the save side from Lightning's per-epoch ModelCheckpoint
+    (config/no_mips.yaml:27-33) but makes no bit-compat promise.
+
+    The persistent compile cache is disabled for this test: its AOT
+    deserialization path can produce an executable with different
+    instruction selection than a fresh in-process compile (the
+    cpu_aot_loader machine-feature warnings), and fresh-vs-cached
+    executables round f32 differently at the 1e-9 level — an
+    environment artifact, not a trainer property. Executables already
+    deserialized by EARLIER tests in the session can still be reused, so
+    float leaves are compared at <=4 ULP instead of bitwise (a genuine
+    trajectory divergence — different batch, store, or optimizer state —
+    is orders of magnitude larger after one step); integer leaves (the
+    8-bit moment state, step counts) must match exactly."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    def with_overrides(cfg, **over):
+        # rebuild_every=1 makes the memory store a pure function of the
+        # CURRENT params at every step — the precondition for exact
+        # resume equivalence (at sparser cadences a resumed run rebuilds
+        # at fit start from the loaded weights, as the reference does at
+        # on_train_start, and legitimately diverges from the
+        # uninterrupted schedule)
+        return dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(cfg.train, save_every=2,
+                                      adam_8bit=True),
+            index=dataclasses.replace(cfg.index, rebuild_every=1),
+            **over,
+        )
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        # never-interrupted run: 6 steps, saves at 2/4/6
+        cont = with_overrides(
+            _cfg(CFG, tmp_path, max_steps=6, eval_every=0,
+                 ckpt_dir=str(tmp_path / "cont_ckpt"))
+        )
+        run_fit(cont)
+
+        # interrupted run: stopped at step 3 (mid save-interval: periodic
+        # save at 2, final-state save at 3 — the tail interval must not
+        # be lost on completion)
+        crash = with_overrides(
+            _cfg(CFG, tmp_path, max_steps=3, eval_every=0,
+                 ckpt_dir=str(tmp_path / "crash_ckpt"))
+        )
+        run_fit(crash)
+        latest = json.load(open(tmp_path / "crash_ckpt" / "latest.json"))
+        assert latest["step"] == 3  # final save; resume re-enters mid-epoch
+
+        # resume to 6
+        resumed = dataclasses.replace(crash, max_steps=6)
+        run_fit(resumed)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+    a = np.load(tmp_path / "cont_ckpt" / "step_6.npz")
+    b = np.load(tmp_path / "crash_ckpt" / "step_6.npz")
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        if np.issubdtype(a[k].dtype, np.floating):
+            np.testing.assert_array_max_ulp(a[k], b[k], maxulp=4)
+        elif a[k].dtype in (np.int8, np.uint8):
+            # quantized moments: a float ULP of jitter upstream can move
+            # a code by at most one
+            d = a[k].astype(np.int32) - b[k].astype(np.int32)
+            assert np.max(np.abs(d)) <= 1, k
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_periodic_save_protects_best_checkpoint(tmp_path):
+    """A best-marked checkpoint survives later periodic saves (keep-N
+    prune must not evict it), and validate-time loading prefers it."""
+    from retrieval_augmented_mds_tpu.train.trainer import TrainState
+    from retrieval_augmented_mds_tpu.utils.checkpoint import (
+        load_train_state,
+        mark_best,
+        save_train_state,
+    )
+
+    import jax.numpy as jnp
+
+    state = TrainState(params={"w": jnp.arange(4.0)},
+                       opt_state=(), step=jnp.int32(0))
+    ckpt = str(tmp_path / "ckpt")
+    p2 = save_train_state(ckpt, state, 2)
+    mark_best(ckpt, 2, p2, 0.5)
+    state4 = TrainState(params={"w": jnp.arange(4.0) + 1},
+                        opt_state=(), step=jnp.int32(0))
+    save_train_state(ckpt, state4, 4)
+    save_train_state(ckpt, state4, 6)
+    # best (step 2) survived the keep-1 prune; latest points at 6
+    assert os.path.exists(p2)
+    assert json.load(open(os.path.join(ckpt, "latest.json")))["step"] == 6
+    best_state, best_step = load_train_state(ckpt, state, prefer="best")
+    assert best_step == 2
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(best_state.params["w"]),
+                                  np.arange(4.0))

@@ -82,15 +82,25 @@ class TrainHyper:
     # train/optimizer.py build_optimizer.
     adam_mu_dtype: str | None = "bfloat16"
     # Blockwise 8-bit Adam state (train/adam8bit.py): int8 mu +
-    # log2-affine uint8 nu. ~33% less optimizer HBM traffic, ~1.6 GB of
-    # state capacity freed on the 268M-param RAG model. Overrides
-    # adam_mu_dtype. The TPU-native stand-in for the reference's
-    # DeepSpeed ZeRO CPU offload (lightning_model.py:16).
+    # log2-affine uint8 nu. CAPACITY-ONLY: ~1.6 GB of state HBM freed on
+    # the 268M-param RAG model, but the update itself measures SLOWER
+    # than the default bf16-mu chain (r5 hardware: ~26-30 ms vs 6.4 ms
+    # full update @162M params, artifacts/adam8bit_dissect.jsonl) — the
+    # narrow-dtype streams and per-block scale columns defeat the HBM
+    # traffic win on TPU. Turn on only when optimizer state does not fit.
+    # Overrides adam_mu_dtype. The TPU-native stand-in for the
+    # reference's DeepSpeed ZeRO CPU offload (lightning_model.py:16).
     adam_8bit: bool = False
-    # Route large-leaf 8-bit updates through the fused Pallas kernel
-    # (ops/adam8bit_update.py). On a mesh the kernel runs per-shard under
-    # shard_map, composing with ZeRO-sharded state. Off = XLA composite.
-    adam_8bit_fused: bool = True
+    # Route the 8-bit superleaf update through the fused Pallas kernel
+    # (ops/adam8bit_update.py). Default OFF since r5: the isolated kernel
+    # measures 19.6 ms = 8.7x roofline @162M and no faster than the XLA
+    # composite (~17 ms) — Mosaic's narrow-dtype tile relayouts / vreg
+    # spills eat the fusion win, and a byte-plane int32-packed rework
+    # measured EQUAL (19.35 ms) and was reverted; evidence in
+    # artifacts/adam8bit_dissect.jsonl. On a mesh the kernel runs
+    # per-shard under shard_map, composing with ZeRO-sharded state.
+    # Off = XLA composite (same superleaf layout, same state tree).
+    adam_8bit_fused: bool = False
     # Per-parameter-group gradient norms in the step metrics (the
     # GradientsPrintingCallback analog, sotasum/lightning_model.py:31-36):
     # one `grad_norm_<group>` per top-level param group. Off by default —
